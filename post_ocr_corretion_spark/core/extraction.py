@@ -1,0 +1,137 @@
+"""Main-content extraction from Common-Crawl-style pages (north rule).
+
+Deterministic, dependency-free (stdlib ``html.parser``) implementation of
+jusText/Boilerpipe-style block heuristics; this module IS the single-node
+reference extractor — the Spark pipeline calls the very same functions
+inside Arrow-batched ``mapInPandas`` (operators/extract.py), which is what
+makes per-url byte-identity trivially verifiable.
+
+Pinned heuristics (documented, deterministic):
+- content inside PRUNE_TAGS (script/style/nav/footer/aside/header/...) is
+  dropped wholesale;
+- text is grouped into blocks delimited by BLOCK_TAGS boundaries;
+- a block is kept iff its whitespace-normalized text has >= MIN_BLOCK_CHARS
+  characters AND its link density (chars inside <a> / total chars)
+  <= MAX_LINK_DENSITY;
+- extracted text = kept block texts joined with "\\n";
+- spans = per kept block, [start, end) character offsets into the DECODED
+  (utf-8, errors="replace") html string covering the block's first..last
+  text node.
+
+PDF-derived pages: pages whose bytes start with ``%PDF-FAKE`` use the
+deterministic fake layout parser (``extract_pdf_fake``): lines of
+``<y> <x> <text>`` are re-ordered by (y, x) — a stand-in for a
+pdfminer-style reading-order recovery.  REAL ``%PDF`` bytes are a stub:
+pdfminer is not available in this environment (``extract_document``
+returns empty text and flags ``pdf_stub``) — clearly-marked stub per the
+round-1 brief.
+"""
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+BLOCK_TAGS = frozenset(
+    "p div li h1 h2 h3 h4 h5 h6 td th tr table ul ol article section main blockquote pre body".split()
+)
+PRUNE_TAGS = frozenset("script style noscript head nav footer aside header form button svg".split())
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.33
+
+
+class _BlockExtractor(HTMLParser):
+    def __init__(self, raw: str):
+        super().__init__(convert_charrefs=True)
+        self._line_starts = [0]
+        for i, ch in enumerate(raw):
+            if ch == "\n":
+                self._line_starts.append(i + 1)
+        self.prune_depth = 0
+        self.link_depth = 0
+        self.blocks: list[tuple[str, int, int]] = []
+        self._chunks: list[tuple[str, int]] = []
+        self._link_chars = 0
+
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    def _flush(self) -> None:
+        if not self._chunks:
+            return
+        raw = "".join(c for c, _ in self._chunks)
+        norm = " ".join(raw.split())
+        total = len(raw)
+        if len(norm) >= MIN_BLOCK_CHARS and (total == 0 or self._link_chars / total <= MAX_LINK_DENSITY):
+            start = self._chunks[0][1]
+            end = self._chunks[-1][1] + len(self._chunks[-1][0])
+            self.blocks.append((norm, start, end))
+        self._chunks = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in PRUNE_TAGS:
+            self.prune_depth += 1
+        elif tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self.link_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in PRUNE_TAGS:
+            self.prune_depth = max(0, self.prune_depth - 1)
+        elif tag in BLOCK_TAGS:
+            self._flush()
+        elif tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+
+    def handle_data(self, data):
+        if self.prune_depth or not data:
+            return
+        self._chunks.append((data, self._offset()))
+        if self.link_depth:
+            self._link_chars += len(data)
+
+
+def extract_html(html_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
+    raw = html_bytes.decode("utf-8", errors="replace")
+    parser = _BlockExtractor(raw)
+    parser.feed(raw)
+    parser.close()
+    parser._flush()
+    text = "\n".join(b[0] for b in parser.blocks)
+    spans = [(s, e) for _, s, e in parser.blocks]
+    return text, spans
+
+
+def extract_pdf_fake(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """Deterministic fake layout parse: after the ``%PDF-FAKE`` header,
+    each line is ``<y> <x> <text>``; reading order = stable sort by
+    (y, x). Spans are offsets of each text payload in the decoded bytes."""
+    raw = pdf_bytes.decode("utf-8", errors="replace")
+    items: list[tuple[int, int, str, int, int]] = []
+    offset = 0
+    for line in raw.split("\n"):
+        stripped = line
+        if not stripped.startswith("%"):
+            parts = stripped.split(" ", 2)
+            if len(parts) == 3 and parts[0].lstrip("-").isdigit() and parts[1].lstrip("-").isdigit():
+                text_start = offset + len(parts[0]) + len(parts[1]) + 2
+                items.append((int(parts[0]), int(parts[1]), parts[2], text_start, text_start + len(parts[2])))
+        offset += len(line) + 1
+    items.sort(key=lambda t: (t[0], t[1]))
+    text = "\n".join(t[2] for t in items)
+    spans = [(s, e) for _, _, _, s, e in items]
+    return text, spans
+
+
+def extract_document(html_bytes: bytes) -> tuple[str, list[tuple[int, int]], str]:
+    """Dispatch per page kind. Returns (text, spans, kind) where kind ∈
+    {html, pdf_fake, pdf_stub}. Real PDFs are STUBBED (no pdfminer in this
+    container): empty text, kind="pdf_stub"."""
+    if html_bytes.startswith(b"%PDF-FAKE"):
+        text, spans = extract_pdf_fake(html_bytes)
+        return text, spans, "pdf_fake"
+    if html_bytes.startswith(b"%PDF"):
+        return "", [], "pdf_stub"
+    text, spans = extract_html(html_bytes)
+    return text, spans, "html"
