@@ -6,19 +6,30 @@ Single-document reference semantics, pinned per SURVEY.md §7.0:
   (correctionSentences.py:256-263) and processed in position order;
 - the roulette-wheel selections (correctionSentences.py:296-330, seeded
   ``random.random``) are replaced by deterministic top-k with the stable
-  tie-break (score desc, then word-tuple asc) — §7.0.2;
+  tie-break (score desc, then space-joined text asc) — §7.0.2.  Because
+  words contain no spaces and ' ' sorts below every word char, the joined
+  string order equals word-tuple order, and Spark's UTF8-binary string
+  comparison agrees with Python's code-point comparison — the tie-break is
+  identical on both sides;
 - per old beam sentence, every candidate substitution is scored as
   normalized-candidate-score + normalized-sentence-score
   (compute_sentence_score, correctionSentences.py:235-242), and the top
   ``beam_width`` survive (selected_sentences :230-233);
 - between errors the pooled beam is pruned to ``beam_width`` by sentence
-  score (select_best_sentences :288-291); the final answer is the max by
-  sentence score (get_best_sentence :293-294);
+  score (select_best_sentences :288-291); the final answer is the best by
+  sentence score (get_best_sentence :293-294, tie-break pinned text-asc);
 - candidate words whose source error word had trailing [.,!?;] punctuation
-  also get a +punctuation variant (get_new_sentences :216-224);
-- sentence score = mean word probability, context-free per word, so
-  substituting one word updates the mean incrementally — the identity the
-  distributed engine exploits (operators/correction.py).
+  also get +punctuation variants appended AFTER the base batch
+  (get_new_sentences :216-224), each scored on its own (variant words can
+  have different probs than their base).
+
+FLOAT-PARITY CONTRACT with operators/correction.py: sentence score is the
+word-probability mean maintained INCREMENTALLY — ``psum_new =
+(psum - p_old) + p_new`` and ``score = psum / n`` — and every batch
+normalizer is a LEFT FOLD in the pinned candidate order (sorted base batch,
+then variants in the same order).  The Spark side evaluates the very same
+expressions in the same order (F.aggregate is a left fold), so doubles are
+bit-identical, not merely close.
 
 Beam width and candidate count come from evolutionary_argument.json
 (sentences_for_generation=3, words_for_generation=15).
@@ -33,9 +44,33 @@ BEAM_WIDTH = 3
 WORDS_FOR_GENERATION = 15
 
 
-def _top_k(items: list[tuple[float, tuple[str, ...]]], k: int) -> list[tuple[float, tuple[str, ...]]]:
-    """Deterministic top-k: score desc, tie word-tuple asc."""
-    return sorted(items, key=lambda t: (-t[0], t[1]))[:k]
+class _Entry:
+    __slots__ = ("words", "probs", "psum", "text")
+
+    def __init__(self, words: list[str], probs: list[float], psum: float):
+        self.words = words
+        self.probs = probs
+        self.psum = psum
+        self.text = " ".join(words)
+
+
+def _prune(entries: list[_Entry], n: int, k: int) -> list[_Entry]:
+    return sorted(entries, key=lambda b: (-(b.psum / n), b.text))[:k]
+
+
+def candidate_batch(
+    err_word: str, scorer: NGramScorer, lexicon: frozenset[str] | set[str]
+) -> list[tuple[str, float, float]]:
+    """The pinned, ordered candidate batch for one error word (original
+    case, as it appears in the sentence): sorted (word, score) pairs from
+    ``get_alternative_word(err_word.lower())``, each with its own word
+    prob, then +punct variants in the same order."""
+    base = sorted(get_alternative_word(err_word.lower(), lexicon))
+    batch = [(w, s, scorer.word_prob(w)) for w, s in base]
+    punct = add_last_punctuation(err_word)
+    if punct:
+        batch += [(w + punct, s, scorer.word_prob(w + punct)) for w, s in base]
+    return batch
 
 
 def correct_sentence(
@@ -45,33 +80,40 @@ def correct_sentence(
     beam_width: int = BEAM_WIDTH,
 ) -> list[str]:
     """Returns the corrected word list for one document."""
-    words = tuple(sentence_words(text))
-    probs = {w: scorer.word_prob(w) for w in set(words)}
-    errors = [(i, w) for i, w in enumerate(words) if probs[w] < 0.5]
+    words = sentence_words(text)
+    n = len(words)
+    if n == 0:
+        return []
+    probs = [scorer.word_prob(w) for w in words]
+    psum = 0.0
+    for p in probs:  # left fold, matching F.aggregate
+        psum += p
+    errors = [(i, words[i]) for i in range(n) if probs[i] < 0.5]
 
-    def sent_score(ws: tuple[str, ...]) -> float:
-        if not ws:
-            return 1.0
-        return sum(scorer.word_prob(w) for w in ws) / len(ws)
-
-    beam: list[tuple[str, ...]] = [words]
+    beams = [_Entry(words, probs, psum)]
     for idx, err_word in errors:
-        pruned = [ws for _, ws in _top_k([(sent_score(ws), ws) for ws in beam], beam_width)]
-        cands = sorted(get_alternative_word(err_word.lower(), lexicon))
-        punct = add_last_punctuation(err_word)
-        if punct:
-            cands = cands + [(w + punct, s) for w, s in cands]
-        new_beam: list[tuple[str, ...]] = []
-        for ws in pruned:
-            batch = [(ws[:idx] + (cw,) + ws[idx + 1 :], cs) for cw, cs in cands]
-            word_total = sum(cs for _, cs in batch)
-            sent_scores = [sent_score(nws) for nws, _ in batch]
-            sent_total = sum(sent_scores)
-            scored = [
-                (cs / word_total + ss / sent_total, nws)
-                for (nws, cs), ss in zip(batch, sent_scores)
-            ]
-            new_beam.extend(ws2 for _, ws2 in _top_k(scored, beam_width))
-        beam = new_beam if new_beam else pruned
-    best = _top_k([(sent_score(ws), ws) for ws in beam], 1)[0][1]
-    return list(best)
+        batch = candidate_batch(err_word, scorer, lexicon)
+        w_total = 0.0
+        for _, s, _ in batch:
+            w_total += s
+        pruned = _prune(beams, n, beam_width)
+        new_beams: list[_Entry] = []
+        for b in pruned:
+            p_old = b.probs[idx]
+            psums = [(b.psum - p_old) + cp for _, _, cp in batch]
+            s_total = 0.0
+            for ps in psums:
+                s_total += ps / n
+            scored = []
+            for (cw, cs, cp), ps in zip(batch, psums):
+                entry = _Entry(
+                    b.words[:idx] + [cw] + b.words[idx + 1 :],
+                    b.probs[:idx] + [cp] + b.probs[idx + 1 :],
+                    ps,
+                )
+                total = cs / w_total + (ps / n) / s_total
+                scored.append((total, entry))
+            scored.sort(key=lambda t: (-t[0], t[1].text))
+            new_beams.extend(e for _, e in scored[:beam_width])
+        beams = new_beams
+    return _prune(beams, n, 1)[0].words

@@ -1,0 +1,191 @@
+"""Distributed beam-search correction (D9) — all docs advance in lockstep.
+
+Reference lifecycle: per document, per flagged error, expand the beam with
+candidate substitutions, score, prune (correctionSentences.py:253-294).
+Spark-first re-expression:
+
+- word probabilities are computed ONCE per document by an Arrow-batched
+  pandas UDF (the only Python in the loop); because the pinned scorer is
+  context-free per word, a substitution updates the sentence mean
+  INCREMENTALLY — so the entire beam loop below is pure Catalyst
+  arithmetic over nested arrays, no Python and no per-round shuffle;
+- the beam of ≤ beam_width² sentences lives in ONE ROW per document
+  (array<struct<words, probs, psum>>), so pruning and expansion are
+  array_sort/transform/aggregate expressions — the only exchange per round
+  is the broadcast of the candidate-batch table keyed by error word;
+- rounds are driven by the driver loop over the GLOBAL max error count
+  (SURVEY.md §7.2: bound the loop globally, mask finished docs — a doc
+  whose errors are exhausted passes through untouched);
+- ``localCheckpoint`` every few rounds truncates lineage (SURVEY.md §4.2).
+
+Float parity with core/beam.py is bit-exact: identical expression shapes,
+identical left folds (see the FLOAT-PARITY CONTRACT there).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import sentence_words
+from ..functions.udfs import make_word_probs_array_udf
+
+BEAM_WIDTH = 3
+CHECKPOINT_EVERY = 4
+
+
+def _cmp(score_a: Column, text_a: Column, score_b: Column, text_b: Column) -> Column:
+    """Comparator: score desc, text asc (the pinned tie-break)."""
+    return (
+        F.when(score_a > score_b, F.lit(-1))
+        .when(score_a < score_b, F.lit(1))
+        .when(text_a < text_b, F.lit(-1))
+        .when(text_a > text_b, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def with_detection(df: DataFrame, scorer_bc, text_col: str = "extracted_text") -> DataFrame:
+    """Adds words, probs, psum, n, errors (array<struct<pos,word,key>>)."""
+    word_probs = make_word_probs_array_udf(scorer_bc)
+    df = (
+        df.withColumn("words", sentence_words(F.col(text_col)))
+        .withColumn(
+            "words",
+            F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(F.col("words")),
+        )
+        .withColumn("n", F.size("words"))
+        .withColumn("probs", word_probs(F.col("words")))
+        .withColumn("psum", F.aggregate("probs", F.lit(0.0), lambda acc, p: acc + p))
+    )
+    idx = F.sequence(F.lit(0), F.col("n") - 1)
+    err = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.element_at(F.col("words"), i + 1).alias("word"),
+                F.lower(F.element_at(F.col("words"), i + 1)).alias("key"),
+                F.element_at(F.col("probs"), i + 1).alias("p"),
+            ),
+        ),
+        lambda x: x["p"] < 0.5,
+    )
+    return df.withColumn(
+        "errors",
+        F.when(F.col("n") > 0, F.transform(err, lambda x: x.dropFields("p"))).otherwise(
+            F.array().cast("array<struct<pos:int,word:string,key:string>>")
+        ),
+    )
+
+
+def distinct_error_words(detected: DataFrame) -> DataFrame:
+    return detected.select(F.explode("errors").alias("e")).select(
+        F.col("e.key").alias("err_word")
+    ).distinct()
+
+
+def run_beam(
+    detected: DataFrame,
+    cand_agg: DataFrame,
+    beam_width: int = BEAM_WIDTH,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """detected → (url, ..., corrected_words). ``cand_agg`` from
+    operators/candidates.candidate_batches (broadcast every round)."""
+    detected = detected.localCheckpoint(eager=True)  # materialize the UDF pass once
+    max_err = detected.agg(F.max(F.size("errors"))).collect()[0][0] or 0
+    if max_rounds is not None:
+        max_err = min(max_err, max_rounds)
+
+    state = detected.withColumn(
+        "beams", F.array(F.struct(F.col("words"), F.col("probs"), F.col("psum")))
+    )
+    n = F.col("n").cast("double")
+
+    def beam_score(b):
+        return b["psum"] / n
+
+    def beam_text(b):
+        return F.concat_ws(" ", b["words"])
+
+    for round_no in range(max_err):
+        err = F.when(F.size("errors") > round_no, F.element_at("errors", round_no + 1))
+        state = state.withColumn("cur_err", err)
+        joined = state.join(
+            F.broadcast(cand_agg.withColumnRenamed("err_word", "cand_key")),
+            F.col("cur_err")["key"] == F.col("cand_key"),
+            "left",
+        )
+
+        pruned = F.slice(
+            F.array_sort(
+                F.col("beams"),
+                lambda a, b: _cmp(beam_score(a), beam_text(a), beam_score(b), beam_text(b)),
+            ),
+            1,
+            beam_width,
+        )
+        pos = F.col("cur_err")["pos"]
+
+        def expand(b):
+            p_old = F.element_at(b["probs"], pos + 1)
+            with_psum = F.transform(
+                F.col("cands"),
+                lambda c: F.struct(
+                    c["word"].alias("word"),
+                    c["score"].alias("score"),
+                    c["p"].alias("p"),
+                    (b["psum"] - p_old + c["p"]).alias("psum2"),
+                ),
+            )
+            s_total = F.aggregate(with_psum, F.lit(0.0), lambda acc, x: acc + x["psum2"] / n)
+            scored = F.transform(
+                with_psum,
+                lambda x: F.struct(
+                    (x["score"] / F.col("w_total") + (x["psum2"] / n) / s_total).alias("total"),
+                    F.struct(
+                        F.concat(
+                            F.slice(b["words"], 1, pos),
+                            F.array(x["word"]),
+                            F.slice(b["words"], pos + 2, F.col("n") - pos - 1),
+                        ).alias("words"),
+                        F.concat(
+                            F.slice(b["probs"], 1, pos),
+                            F.array(x["p"]),
+                            F.slice(b["probs"], pos + 2, F.col("n") - pos - 1),
+                        ).alias("probs"),
+                        x["psum2"].alias("psum"),
+                    ).alias("entry"),
+                ),
+            )
+            top = F.slice(
+                F.array_sort(
+                    scored,
+                    lambda a, b2: _cmp(
+                        a["total"], F.concat_ws(" ", a["entry"]["words"]),
+                        b2["total"], F.concat_ws(" ", b2["entry"]["words"]),
+                    ),
+                ),
+                1,
+                beam_width,
+            )
+            return F.transform(top, lambda t: t["entry"])
+
+        new_beams = F.when(
+            F.col("cur_err").isNull() | F.col("cands").isNull(), F.col("beams")
+        ).otherwise(F.flatten(F.transform(pruned, expand)))
+
+        state = joined.withColumn("beams", new_beams).drop(
+            "cand_key", "cands", "w_total", "cur_err"
+        )
+        if (round_no + 1) % CHECKPOINT_EVERY == 0:
+            state = state.localCheckpoint(eager=True)
+
+    best = F.element_at(
+        F.array_sort(
+            F.col("beams"),
+            lambda a, b: _cmp(beam_score(a), beam_text(a), beam_score(b), beam_text(b)),
+        ),
+        1,
+    )
+    return state.withColumn("corrected_words", best["words"]).drop("beams")

@@ -1,0 +1,71 @@
+"""Lexicon construction (A2/U1/A3) and its deletion-neighborhood table.
+
+Reference: ``Dictionary`` (correctionSentences.py:28-63) — train words ∪
+English word list, bucketed by (first char, last char).  Spark-first:
+the lexicon is a DataFrame; the reference's hand-rolled bucket pruning
+(J1, :77-80) becomes data layout (repartition/bucket by ``bucket``), and
+the regex candidate lookup (J2, :65-75) is replaced by the deletion-
+neighborhood table that operators/candidates.py equi-joins against —
+a SymSpell-style formulation with identical pinned semantics
+(core/candidates.py docstring) and no per-row regex compilation.
+
+Scale: the neighborhood table has sum(len(word)) rows (~7× lexicon).
+It is computed once per corpus, is hash-partitioned on ``delkey`` (the
+join key), and every downstream join is an equi-join — broadcastable when
+the error-side is small, shuffle-hash otherwise; never a nested-loop
+regex theta-join.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bucket_key, clean_text, remove_punctuation, words_on_space
+
+
+def corpus_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A2 (correctionSentences.py:35-41): clean (P2) → split on single
+    space → strip trailing punct (P6) → lower → drop empties → distinct.
+    Column: word."""
+    return (
+        docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
+        .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+
+
+def build_lexicon(
+    spark: SparkSession, docs: DataFrame, base_words: tuple[str, ...] = (), text_col: str = "text"
+) -> DataFrame:
+    """U1 (correctionSentences.py:44): shipped word list ∪ corpus words,
+    with the A3 bucket column. Columns: word, bucket."""
+    base = spark.createDataFrame([(w,) for w in sorted(set(base_words))], "word string")
+    return (
+        corpus_words(docs, text_col)
+        .union(base)
+        .distinct()
+        .withColumn("bucket", bucket_key(F.col("word")))
+        .repartition("bucket")
+    )
+
+
+def deletion_neighborhood(lexicon: DataFrame) -> DataFrame:
+    """For every lexicon word and position i: (delkey = word minus char i,
+    pos = i, ch = word[i], word). Pure Catalyst (posexplode over a
+    sequence; substring surgery), no UDF."""
+    w = F.col("word")
+    return (
+        lexicon.select("word")
+        .select(w, F.explode(F.sequence(F.lit(0), F.length(w) - 1)).alias("pos"))
+        .select(
+            F.concat(
+                F.substring(w, 1, F.col("pos")),
+                w.substr(F.col("pos") + 2, F.length(w) - F.col("pos") - 1),
+            ).alias("delkey"),
+            "pos",
+            F.substring(w, F.col("pos") + 1, 1).alias("ch"),
+            "word",
+        )
+        .repartition("delkey")
+    )

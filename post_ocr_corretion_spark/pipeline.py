@@ -1,0 +1,87 @@
+"""End-to-end flagship pipeline: webpages → extract → detect → correct.
+
+This is the reference's ``correct_sentences()`` lifecycle (main.py:28-35,
+SURVEY.md §3.1) re-expressed over the north-rule web table:
+
+  documents (ground truth)  ──►  synthetic webpages (url, warc_ts, html…)
+        │                                   │
+        │ lexicon (A2/U1/A3)                ▼
+        │ deletion-neighborhood      extract (mapInPandas, north rule)
+        ▼                                   ▼
+  scorer broadcast ───────────►  detection (one pandas-UDF pass)
+                                            ▼
+  candidate batches (equi-joins, ──► beam loop (pure Catalyst, lockstep)
+  distinct error words only)                ▼
+                     (url, extracted_text, spans, corrected_text, …)
+
+Non-``en`` pages and stubbed real-PDF pages pass through deterministically
+(corrected = extracted words; FIXTURES.md F2).
+
+Scale notes (SURVEY.md §4): the scorer is built from the lexicon on the
+driver and broadcast once — at 10^12-doc scale the bigram counts would be
+aggregated distributively (groupBy over char pairs) and membership would
+be a Bloom filter; both keep the same pinned scoring interface. Candidate
+generation runs on DISTINCT error words (vocabulary-bounded), never per
+occurrence.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core.scoring import NGramScorer
+from .datagen.wordlist import COMMON_WORDS
+from .functions.text import join_words_quirk, join_words_readable
+from .operators.candidates import candidate_batches
+from .operators.correction import distinct_error_words, run_beam, with_detection
+from .operators.extract import extract
+from .operators.lexicon import build_lexicon, deletion_neighborhood
+from .sources.webpages import read_documents, webpages
+
+
+def build_scorer_broadcast(spark: SparkSession, lexicon_df: DataFrame):
+    """Collect the lexicon and broadcast one NGramScorer per executor."""
+    words = frozenset(r.word for r in lexicon_df.select("word").collect())
+    return spark.sparkContext.broadcast(NGramScorer(words)), words
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, max_rounds: int | None = None) -> DataFrame:
+    docs = read_documents(spark, sf_dir)
+    pages = webpages(docs)
+    extracted = extract(pages)
+
+    lexicon_df = build_lexicon(spark, docs, COMMON_WORDS).cache()
+    lex_del = deletion_neighborhood(lexicon_df)
+    scorer_bc, _ = build_scorer_broadcast(spark, lexicon_df)
+
+    correctable = extracted.filter((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))
+    passthrough = extracted.filter(~((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))).withColumn(
+        "corrected_words", F.split(F.trim("extracted_text"), r"\s+")
+    ).withColumn(
+        "corrected_words",
+        F.when(F.trim("extracted_text") == "", F.array().cast("array<string>")).otherwise(
+            F.col("corrected_words")
+        ),
+    )
+
+    detected = with_detection(correctable, scorer_bc)
+    err_words = distinct_error_words(detected)
+    cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc).cache()
+    cand_agg.count()  # materialize before the loop
+
+    corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
+        "words", "probs", "psum", "n", "errors"
+    )
+    out_cols = ["url", "warc_ts", "lang", "doc_id", "kind", "extracted_text", "spans", "corrected_words"]
+    result = corrected.select(*out_cols).unionByName(passthrough.select(*out_cols))
+    return result.select(
+        "url",
+        "warc_ts",
+        "lang",
+        "doc_id",
+        "kind",
+        "extracted_text",
+        "spans",
+        join_words_quirk(F.col("corrected_words")).alias("corrected_text"),
+        join_words_readable(F.col("corrected_words")).alias("corrected_readable"),
+    )
