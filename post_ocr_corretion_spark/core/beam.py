@@ -78,13 +78,21 @@ def correct_sentence(
     scorer: NGramScorer,
     lexicon: frozenset[str] | set[str],
     beam_width: int = BEAM_WIDTH,
+    prob_fn=None,
+    cand_fn=None,
 ) -> list[str]:
-    """Returns the corrected word list for one document."""
+    """Returns the corrected word list for one document.
+
+    ``prob_fn``/``cand_fn`` optionally override the per-word prob and
+    candidate-batch lookups (the Spark UDF path injects memoized versions
+    — executor-local dedup of the distinct-error-word work)."""
+    prob_fn = prob_fn or scorer.word_prob
+    cand_fn = cand_fn or (lambda w: candidate_batch(w, scorer, lexicon))
     words = sentence_words(text)
     n = len(words)
     if n == 0:
         return []
-    probs = [scorer.word_prob(w) for w in words]
+    probs = [prob_fn(w) for w in words]
     psum = 0.0
     for p in probs:  # left fold, matching F.aggregate
         psum += p
@@ -92,7 +100,7 @@ def correct_sentence(
 
     beams = [_Entry(words, probs, psum)]
     for idx, err_word in errors:
-        batch = candidate_batch(err_word, scorer, lexicon)
+        batch = cand_fn(err_word)
         w_total = 0.0
         for _, s, _ in batch:
             w_total += s

@@ -189,3 +189,55 @@ def run_beam(
         1,
     )
     return state.withColumn("corrected_words", best["words"]).drop("beams")
+
+
+def run_beam_udf(df: DataFrame, scorer_bc, lexicon_bc, text_col: str = "extracted_text") -> DataFrame:
+    """Single-pass beam correction: one Arrow-batched mapInPandas stage
+    runs the ENTIRE pinned beam loop per document (core/beam.py — the very
+    code the parity oracle runs, so identity is by construction).
+
+    Scale rationale vs run_beam: the lockstep Catalyst loop pays one
+    broadcast join + plan round per GLOBAL max error count — a single
+    500-error document forces 500 rounds over the whole dataset. Here the
+    work is exactly per-document, embarrassingly parallel, with ZERO
+    shuffles and no driver round-trips; scorer + lexicon are broadcast
+    once per executor, and candidate batches are memoized per error word
+    within each task (the distinct-error-word dedup, executor-local).
+    This is the throughput path; run_beam remains the no-Python path."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..core.beam import candidate_batch, correct_sentence
+
+    out_fields = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"struct<{out_fields}, corrected_words: array<string>>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = scorer_bc.value
+        lexicon = lexicon_bc.value
+        cand_cache: dict[str, list] = {}
+        prob_cache: dict[str, float] = {}
+
+        def prob_fn(w: str) -> float:
+            p = prob_cache.get(w)
+            if p is None:
+                p = scorer.word_prob(w)
+                prob_cache[w] = p
+            return p
+
+        def cand_fn(w: str) -> list:
+            batch = cand_cache.get(w)
+            if batch is None:
+                batch = candidate_batch(w, scorer, lexicon)
+                cand_cache[w] = batch
+            return batch
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["corrected_words"] = pdf[text_col].map(
+                lambda t: correct_sentence(t, scorer, lexicon, prob_fn=prob_fn, cand_fn=cand_fn)
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema)

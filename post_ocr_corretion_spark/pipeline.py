@@ -33,7 +33,7 @@ from .core.scoring import NGramScorer
 from .datagen.wordlist import COMMON_WORDS
 from .functions.text import join_words_quirk, join_words_readable
 from .operators.candidates import candidate_batches
-from .operators.correction import distinct_error_words, run_beam, with_detection
+from .operators.correction import distinct_error_words, run_beam, run_beam_udf, with_detection
 from .operators.extract import extract
 from .operators.lexicon import build_lexicon, deletion_neighborhood
 from .sources.webpages import read_documents, webpages
@@ -45,14 +45,22 @@ def build_scorer_broadcast(spark: SparkSession, lexicon_df: DataFrame):
     return spark.sparkContext.broadcast(NGramScorer(words)), words
 
 
-def run_pipeline(spark: SparkSession, sf_dir: str, max_rounds: int | None = None) -> DataFrame:
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int | None = None,
+    mode: str = "udf",
+) -> DataFrame:
+    """``mode='udf'`` (default): single-pass Arrow-batched beam — the
+    throughput path, zero shuffles after extraction.  ``mode='catalyst'``:
+    the no-Python lockstep loop over SymSpell equi-join candidate batches.
+    Both are byte-identical to the oracle (tests assert it)."""
     docs = read_documents(spark, sf_dir)
     pages = webpages(docs)
     extracted = extract(pages)
 
     lexicon_df = build_lexicon(spark, docs, COMMON_WORDS).cache()
-    lex_del = deletion_neighborhood(lexicon_df)
-    scorer_bc, _ = build_scorer_broadcast(spark, lexicon_df)
+    scorer_bc, lex_words = build_scorer_broadcast(spark, lexicon_df)
 
     correctable = extracted.filter((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))
     passthrough = extracted.filter(~((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))).withColumn(
@@ -64,14 +72,18 @@ def run_pipeline(spark: SparkSession, sf_dir: str, max_rounds: int | None = None
         ),
     )
 
-    detected = with_detection(correctable, scorer_bc)
-    err_words = distinct_error_words(detected)
-    cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc).cache()
-    cand_agg.count()  # materialize before the loop
-
-    corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
-        "words", "probs", "psum", "n", "errors"
-    )
+    if mode == "udf":
+        lexicon_bc = spark.sparkContext.broadcast(lex_words)
+        corrected = run_beam_udf(correctable, scorer_bc, lexicon_bc)
+    else:
+        lex_del = deletion_neighborhood(lexicon_df)
+        detected = with_detection(correctable, scorer_bc)
+        err_words = distinct_error_words(detected)
+        cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc).cache()
+        cand_agg.count()  # materialize before the loop
+        corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
+            "words", "probs", "psum", "n", "errors"
+        )
     out_cols = ["url", "warc_ts", "lang", "doc_id", "kind", "extracted_text", "spans", "corrected_words"]
     result = corrected.select(*out_cols).unionByName(passthrough.select(*out_cols))
     return result.select(
