@@ -55,7 +55,15 @@ def run_pipeline(
     throughput path, zero shuffles after extraction.  ``mode='catalyst'``:
     the no-Python lockstep loop over SymSpell equi-join candidate batches.
     Both are byte-identical to the oracle (tests assert it)."""
-    docs = read_documents(spark, sf_dir)
+    return run_pipeline_from_docs(spark, read_documents(spark, sf_dir), max_rounds, mode)
+
+
+def run_pipeline_from_docs(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_rounds: int | None = None,
+    mode: str = "udf",
+) -> DataFrame:
     pages = webpages(docs)
     extracted = extract(pages)
 

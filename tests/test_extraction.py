@@ -1,0 +1,67 @@
+"""North-rule extraction: block heuristics, spans, PDF reading order."""
+from __future__ import annotations
+
+from post_ocr_corretion_spark.core.extraction import (
+    extract_document,
+    extract_html,
+    extract_pdf_fake,
+)
+
+HTML = (
+    "<html><head><title>t</title><script>var x=1;</script></head><body>"
+    "<nav><ul><li><a href='/a'>a very long navigation label indeed</a></li></ul></nav>"
+    "<div id='main'><p>This paragraph is long enough to be kept as main content.</p>"
+    "<p>short</p>"
+    "<p>Another sufficiently long paragraph with <a href='/x'>one link</a> inside it, fine.</p></div>"
+    "<div class='side'><a href='/1'>link farm link farm</a> <a href='/2'>more links here now</a></div>"
+    "<footer>copyright</footer></body></html>"
+).encode()
+
+
+def test_block_heuristics():
+    text, spans = extract_html(HTML)
+    blocks = text.split("\n")
+    assert blocks[0] == "This paragraph is long enough to be kept as main content."
+    assert any("one link" in b for b in blocks)
+    assert all("navigation label" not in b for b in blocks)  # nav pruned
+    assert all("link farm" not in b for b in blocks)  # link density
+    assert all("short" != b for b in blocks)  # min length
+    assert all("copyright" not in b for b in blocks)  # footer pruned
+    assert all("var x=1" not in b for b in blocks)  # script pruned
+    assert len(spans) == len(blocks)
+
+
+def test_spans_point_into_decoded_html():
+    raw = HTML.decode("utf-8")
+    text, spans = extract_html(HTML)
+    blocks = text.split("\n")
+    for block, (s, e) in zip(blocks, spans):
+        covered = raw[s:e]
+        # whitespace-normalizing the covered range must reproduce the block
+        # (modulo tags inside the block, which only occur around link text)
+        for word in block.split(" ")[:3]:
+            assert word in covered
+
+
+def test_pdf_fake_reading_order():
+    pdf = b"%PDF-FAKE 1.0\n20 5 second line of the page\n10 5 first line of the page\n"
+    text, spans = extract_pdf_fake(pdf)
+    assert text == "first line of the page\nsecond line of the page"
+    raw = pdf.decode()
+    assert [raw[s:e] for s, e in spans] == ["first line of the page", "second line of the page"]
+
+
+def test_real_pdf_is_stubbed():
+    text, spans, kind = extract_document(b"%PDF-1.7 realbinary")
+    assert (text, spans, kind) == ("", [], "pdf_stub")
+
+
+def test_dispatch_kinds():
+    assert extract_document(HTML)[2] == "html"
+    assert extract_document(b"%PDF-FAKE 1.0\n10 5 some text here\n")[2] == "pdf_fake"
+
+
+def test_determinism():
+    a = extract_document(HTML)
+    b = extract_document(HTML)
+    assert a == b

@@ -1,0 +1,55 @@
+"""The north-rule gate: per-url byte-identity of extracted text, spans and
+corrected text between the Spark pipeline (both modes) and the single-node
+oracle, on an 80-document fixture corpus."""
+from __future__ import annotations
+
+import pytest
+
+from post_ocr_corretion_spark.core.oracle import run_oracle
+from post_ocr_corretion_spark.datagen.webpages import make_page
+
+
+@pytest.fixture(scope="module")
+def golden(docs_rows, fixture_lexicon, fixture_scorer):
+    pages = [make_page(r["doc_id"], r["text"], r["lang"]) for r in docs_rows]
+    return {g["url"]: g for g in run_oracle(pages, fixture_lexicon, fixture_scorer)}
+
+
+def _docs_df(spark, docs_rows):
+    return spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in docs_rows],
+        "doc_id long, text string, lang string",
+    )
+
+
+@pytest.mark.parametrize("mode", ["udf", "catalyst"])
+def test_pipeline_byte_identity(spark, docs_rows, golden, mode):
+    from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
+
+    df = run_pipeline_from_docs(spark, _docs_df(spark, docs_rows), mode=mode)
+    rows = df.collect()
+    assert len(rows) == len(golden)
+    for r in rows:
+        g = golden[r.url]
+        assert r.extracted_text == g["extracted_text"], r.url
+        assert [(s.start, s.end) for s in r.spans] == g["spans"], r.url
+        assert r.corrected_text == g["corrected_text"], r.url
+        assert r.corrected_readable == g["corrected_readable"], r.url
+
+
+def test_correction_actually_corrects(golden):
+    """OCR noise gets repaired somewhere: corrected text differs from the
+    extracted (noisy) text on at least some pages."""
+    diffs = sum(
+        1 for g in golden.values() if g["corrected_readable"] != g["extracted_text"].replace("\n", " ")
+    )
+    assert diffs > 0
+
+
+def test_smoke_sentence(fixture_scorer, fixture_lexicon):
+    """The reference's fixed smoke case (test.py:127,134)."""
+    from post_ocr_corretion_spark.core.beam import correct_sentence
+
+    out = correct_sentence("the dis0ric! is in the cit.", fixture_scorer, fixture_lexicon)
+    assert out[0] == "the"
+    assert len(out) == 6
