@@ -1,0 +1,74 @@
+"""Replicates the driver's correctness gate locally: every queries() entry
+with an oracle_sql() is run on sf0.01 via Spark AND DuckDB; row sets must
+match (order-insensitive, column-name-sorted)."""
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    """pandas DataFrame → sorted list of tuples with canonical values."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def c(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return None
+            return round(v, 9)
+        if hasattr(v, "item"):
+            return c(v.item())
+        return v
+
+    rows = [tuple(c(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    sdf = QUERIES[name](spark, SF).toPandas()
+    with _duck() as con:
+        odf = con.execute(ORACLES[name]).df()
+    assert list(sorted(sdf.columns)) == list(sorted(odf.columns)), (
+        sorted(sdf.columns),
+        sorted(odf.columns),
+    )
+    got, want = _canon(sdf), _canon(odf)
+    assert len(got) == len(want), (name, len(got), len(want))
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, (name, mism[:5])
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
