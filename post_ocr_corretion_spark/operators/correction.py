@@ -191,7 +191,13 @@ def run_beam(
     return state.withColumn("corrected_words", best["words"]).drop("beams")
 
 
-def run_beam_udf(df: DataFrame, scorer_bc, lexicon_bc, text_col: str = "extracted_text") -> DataFrame:
+def run_beam_udf(
+    df: DataFrame,
+    scorer_bc,
+    lexicon_bc,
+    text_col: str = "extracted_text",
+    enabled_col: str | None = None,
+) -> DataFrame:
     """Single-pass beam correction: one Arrow-batched mapInPandas stage
     runs the ENTIRE pinned beam loop per document (core/beam.py — the very
     code the parity oracle runs, so identity is by construction).
@@ -203,7 +209,12 @@ def run_beam_udf(df: DataFrame, scorer_bc, lexicon_bc, text_col: str = "extracte
     shuffles and no driver round-trips; scorer + lexicon are broadcast
     once per executor, and candidate batches are memoized per error word
     within each task (the distinct-error-word dedup, executor-local).
-    This is the throughput path; run_beam remains the no-Python path."""
+    This is the throughput path; run_beam remains the no-Python path.
+
+    ``enabled_col``: optional boolean column — rows where it is false get
+    the deterministic pass-through (corrected = split words), keeping the
+    whole flagship a SINGLE stage instead of a two-branch union that would
+    recompute the upstream extraction twice."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -233,11 +244,21 @@ def run_beam_udf(df: DataFrame, scorer_bc, lexicon_bc, text_col: str = "extracte
                 cand_cache[w] = batch
             return batch
 
+        def passthrough(text: str) -> list[str]:
+            return text.split()
+
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["corrected_words"] = pdf[text_col].map(
-                lambda t: correct_sentence(t, scorer, lexicon, prob_fn=prob_fn, cand_fn=cand_fn)
-            )
+            corr = [
+                correct_sentence(t, scorer, lexicon, prob_fn=prob_fn, cand_fn=cand_fn)
+                if (enabled_col is None or en)
+                else passthrough(t)
+                for t, en in zip(
+                    pdf[text_col],
+                    pdf[enabled_col] if enabled_col is not None else pdf[text_col],
+                )
+            ]
+            pdf["corrected_words"] = corr
             yield pdf
 
     return df.mapInPandas(run, schema)

@@ -71,3 +71,36 @@ def extract(pages: DataFrame) -> DataFrame:
             yield out
 
     return pages.select(*cols).mapInPandas(run, EXTRACT_SCHEMA)
+
+
+def render_and_extract(docs: DataFrame) -> DataFrame:
+    """Fused synthetic-render + extract in ONE Arrow-batched stage.
+
+    Composing sources/webpages.webpages with extract() ships every page's
+    html bytes JVM→Python→JVM→Python; since both ends are per-row pure
+    functions, fusing them removes the largest Arrow transfer of the
+    pipeline (the html column) entirely. Output is identical to
+    ``extract(webpages(docs))`` — tests assert it."""
+    from ..datagen.webpages import make_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                page = make_page(int(r.doc_id), r.text, r.lang)
+                text, sp, kind = extract_document(page["html"])
+                rows.append(
+                    {
+                        "url": page["url"],
+                        "warc_ts": page["warc_ts"],
+                        "lang": page["lang"],
+                        "doc_id": int(r.doc_id),
+                        "kind": kind,
+                        "extracted_text": text,
+                        "spans": [{"start": s, "end": e} for s, e in sp],
+                        "html_bytes": len(page["html"]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(run, EXTRACT_SCHEMA)

@@ -34,7 +34,7 @@ from .datagen.wordlist import COMMON_WORDS
 from .functions.text import join_words_quirk, join_words_readable
 from .operators.candidates import candidate_batches
 from .operators.correction import distinct_error_words, run_beam, run_beam_udf, with_detection
-from .operators.extract import extract
+from .operators.extract import extract, render_and_extract
 from .operators.lexicon import build_lexicon, deletion_neighborhood
 from .sources.webpages import read_documents, webpages
 
@@ -63,27 +63,41 @@ def run_pipeline_from_docs(
     docs: DataFrame,
     max_rounds: int | None = None,
     mode: str = "udf",
+    partitions: int | None = None,
 ) -> DataFrame:
-    pages = webpages(docs)
-    extracted = extract(pages)
+    # A single parquet file arrives as one input split; spread the per-doc
+    # work (render/extract/correct are all embarrassingly parallel) across
+    # every core up front. Hashing the key also breaks the skewed-host
+    # clustering of the url space (SURVEY.md §4.1).
+    par = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
+    docs = docs.repartition(par, F.xxhash64("doc_id"))
 
     lexicon_df = build_lexicon(spark, docs, COMMON_WORDS).cache()
     scorer_bc, lex_words = build_scorer_broadcast(spark, lexicon_df)
-
-    correctable = extracted.filter((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))
-    passthrough = extracted.filter(~((F.col("lang") == "en") & (F.col("kind") != "pdf_stub"))).withColumn(
-        "corrected_words", F.split(F.trim("extracted_text"), r"\s+")
-    ).withColumn(
-        "corrected_words",
-        F.when(F.trim("extracted_text") == "", F.array().cast("array<string>")).otherwise(
-            F.col("corrected_words")
-        ),
-    )
+    enabled = (F.col("lang") == "en") & (F.col("kind") != "pdf_stub")
 
     if mode == "udf":
+        # throughput path: fused render+extract stage, then one beam stage
+        # with in-UDF pass-through — two Python stages total, no recompute.
+        extracted = render_and_extract(docs)
         lexicon_bc = spark.sparkContext.broadcast(lex_words)
-        corrected = run_beam_udf(correctable, scorer_bc, lexicon_bc)
+        corrected = run_beam_udf(
+            extracted.withColumn("correct_enabled", enabled),
+            scorer_bc,
+            lexicon_bc,
+            enabled_col="correct_enabled",
+        )
     else:
+        extracted = extract(webpages(docs)).localCheckpoint(eager=True)  # materialize once for both branches
+        correctable = extracted.filter(enabled)
+        passthrough = extracted.filter(~enabled).withColumn(
+            "corrected_words", F.split(F.trim("extracted_text"), r"\s+")
+        ).withColumn(
+            "corrected_words",
+            F.when(F.trim("extracted_text") == "", F.array().cast("array<string>")).otherwise(
+                F.col("corrected_words")
+            ),
+        )
         lex_del = deletion_neighborhood(lexicon_df)
         detected = with_detection(correctable, scorer_bc)
         err_words = distinct_error_words(detected)
@@ -91,9 +105,9 @@ def run_pipeline_from_docs(
         cand_agg.count()  # materialize before the loop
         corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
             "words", "probs", "psum", "n", "errors"
-        )
+        ).unionByName(passthrough)
     out_cols = ["url", "warc_ts", "lang", "doc_id", "kind", "extracted_text", "spans", "corrected_words"]
-    result = corrected.select(*out_cols).unionByName(passthrough.select(*out_cols))
+    result = corrected.select(*out_cols)
     return result.select(
         "url",
         "warc_ts",
