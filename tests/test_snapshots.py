@@ -1,0 +1,63 @@
+"""Snapshot-commit writer: atomic commit, lineage counters, resume."""
+from __future__ import annotations
+
+import json
+import os
+
+from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+
+def test_write_read_lineage_resume(spark, tmp_path):
+    base = str(tmp_path / "table")
+    w = SnapshotWriter(base)
+    assert w.latest() is None
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    sid = w.write(df, key_col="k")
+    assert sid == 1 and w.latest() == 1
+
+    back = w.read(spark)
+    assert back.count() == 100
+
+    lin = w.read_lineage(spark).collect()
+    assert sum(r.rows for r in lin) == 100
+    assert min(r.key_min for r in lin) == 0 and max(r.key_max for r in lin) == 99
+
+    # second snapshot appends, never touches the first
+    sid2 = w.write(spark.range(5).withColumnRenamed("id", "k"), key_col="k")
+    assert sid2 == 2
+    assert w.read(spark, 1).count() == 100
+    assert w.read(spark).count() == 5
+
+    # resume: job must NOT run again
+    ran = {"n": 0}
+
+    def job():
+        ran["n"] += 1
+        return spark.range(1)
+
+    got, resumed = w.resume_or_run(spark, job)
+    assert resumed and ran["n"] == 0 and got.count() == 5
+
+
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
+    base = str(tmp_path / "table2")
+    w = SnapshotWriter(base)
+    w.write(spark.range(10).withColumnRenamed("id", "k"))
+    # simulate a crash: data for snapshot 2 exists but no commit marker
+    df = spark.range(7)
+    df.write.mode("overwrite").parquet(os.path.join(base, "data", "snapshot=2"))
+    assert w.latest() == 1
+    assert w.read(spark).count() == 10
+
+    # and a fresh writer allocates snapshot 2 again, overwriting the garbage
+    sid = w.write(spark.range(3).withColumnRenamed("id", "k"))
+    assert sid == 2 and w.read(spark).count() == 3
+
+
+def test_manifest_contents(spark, tmp_path):
+    base = str(tmp_path / "table3")
+    w = SnapshotWriter(base)
+    sid = w.write(spark.range(42).withColumnRenamed("id", "k"), key_col="k")
+    m = json.load(open(os.path.join(base, "_snapshots", f"{sid}.json")))
+    assert m["rows"] == 42 and m["snapshot_id"] == sid
