@@ -296,154 +296,101 @@ def q_d6_split(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    d = _t(spark, sf, "documents")
-    return (
-        d.groupBy(F.md5(F.col("text")).alias("h"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("keep_doc"))
-    )
+    from post_ocr_corretion_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf, "documents"))
 
 
 def _shingles(spark, sf, max_doc: int = 100, k: int = 5):
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < max_doc)
-    return (
-        d.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.greatest(F.length("text") - k, F.lit(0)))).alias("i"),
-            "text",
-        )
-        .filter(F.length("text") >= k)
-        .select("doc_id", F.substring(F.col("text"), F.col("i") + 1, k).alias("sh"))
-        .distinct()
-    )
+    from post_ocr_corretion_spark.operators.dedup import char_shingles
+
+    return char_shingles(_t(spark, sf, "documents").filter(F.col("doc_id") < max_doc), k=k)
 
 
 def q_dedup_jaccard(spark, sf):
-    sh = _shingles(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("nsh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("nsh").alias("nb"))
-    return (
-        common.join(sa, "da")
-        .join(sb, "db")
-        .withColumn("jac", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
-        .filter(F.col("jac") >= 0.5)
-        .select("da", "db", F.round("jac", 6).alias("jaccard"))
-    )
+    from post_ocr_corretion_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_shingles(spark, sf), threshold=0.5)
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    sh = _shingles(spark, sf)
-    sig = sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.concat(F.col("sh"), F.lit("s1")))).alias("m1"),
-        F.min(F.md5(F.concat(F.col("sh"), F.lit("s2")))).alias("m2"),
-        F.min(F.md5(F.concat(F.col("sh"), F.lit("s3")))).alias("m3"),
-        F.min(F.md5(F.concat(F.col("sh"), F.lit("s4")))).alias("m4"),
-    )
-    b1 = sig.select("doc_id", F.concat(F.col("m1"), F.col("m2")).alias("band"))
-    b2 = sig.select("doc_id", F.concat(F.col("m3"), F.col("m4")).alias("band"))
-    bands = b1.union(b2)
-    x = bands.alias("x")
-    y = bands.alias("y")
-    return (
-        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-    )
+    from post_ocr_corretion_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    return lsh_candidate_pairs(minhash_signatures(_shingles(spark, sf), n_hashes=4))
 
 
 def q_dedup_simhash(spark, sf):
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    words = d.select(
-        "doc_id", F.explode(F.split(_clean(F.col("text")), " ", -1)).alias("w")
-    ).filter(F.length("w") > 0).distinct()
-    bits = words.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        F.col("w"),
-    ).withColumn(
-        "v",
-        F.when(F.ascii(F.substring(F.md5(F.col("w")), F.col("b") + 1, 1)) % 2 == 1, 1).otherwise(-1),
-    )
-    sums = bits.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
-    return (
-        sums.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("doc_id")
-        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("b", "bit")))["bit"]).alias("sig"))
-        .select("doc_id", F.col("sig").alias("simhash"))
+    from post_ocr_corretion_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf, "documents").filter(F.col("doc_id") < 100))
+
+
+def _emb(spark, sf):
+    return _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
 
 def q_ann_cosine_topk(spark, sf):
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, x: a + x * x))
-    nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    scored = (
-        q.crossJoin(emb)
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", F.round(dot / (nq * nv), 4).alias("cos"))
-    )
-    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5).select(
-        "qid", "rnk", "vec_id", "cos"
-    )
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    return brute_force_topk(emb, q, k=5).select("qid", "rnk", "vec_id", "cos")
+
+
+def q_embed_near_dup(spark, sf):
+    from post_ocr_corretion_spark.operators.similarity import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_emb(spark, sf), threshold=0.35)
+
+
+def q_lsh_near_dup(spark, sf):
+    from post_ocr_corretion_spark.operators.similarity import hyperplanes, lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_emb(spark, sf), hyperplanes(6, 64), threshold=0.35)
+
+
+def q_j3_labels(spark, sf):
+    from post_ocr_corretion_spark.operators.labels import window_containment_labels
+
+    d = _t(spark, sf, "documents")
+    a = d.select("doc_id", F.split("text", " ", -1).alias("input_words"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.split("text", " ", -1).alias("output_words"))
+    pairs = a.join(b, "doc_id").filter(F.col("doc_id") % 2 == 0)
+    labels = window_containment_labels(pairs)
+    return labels.select("doc_id", F.posexplode("labels").alias("pos", "label"))
+
+
+def q_d2_split_to_fit(spark, sf):
+    from post_ocr_corretion_spark.operators.segmentation import split_to_fit
+
+    d = _t(spark, sf, "documents").select(_clean(F.col("text")).alias("seq"))
+    return split_to_fit(d, "seq")
 
 
 def q_textstats_quality(spark, sf):
-    d = _t(spark, sf, "documents")
-    words = F.split(F.trim(F.col("text")), " ", -1)
-    n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(_STOPWORDS)))
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,!?;]", ""))
-    return d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
-        F.round((F.length("text") - n_words + 1).cast("double") / n_words, 4).alias("avg_word_len"),
-    )
+    from post_ocr_corretion_spark.operators.textstats import quality_stats
+
+    return quality_stats(_t(spark, sf, "documents"))
 
 
 def q_langid(spark, sf):
-    d = _t(spark, sf, "documents")
-    words = F.split(F.trim(_clean(F.col("text"))), " ", -1)
-    frac = F.size(F.filter(words, lambda w: w.isin(_STOPWORDS))).cast("double") / F.size(words)
-    return d.select(
-        "doc_id",
-        F.when(frac >= 0.08, F.lit("en")).otherwise(F.lit("other")).alias("pred_lang"),
-        F.round(frac, 6).alias("stop_frac"),
-    )
+    from post_ocr_corretion_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf, "documents"))
 
 
 def q_token_count(spark, sf):
-    d = _t(spark, sf, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), " ", -1))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
-    return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    from post_ocr_corretion_spark.operators.textstats import token_counts
+
+    return token_counts(_t(spark, sf, "documents"))
 
 
 def q_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
-    words = (
-        d.select("doc_id", F.explode(F.split(_clean(F.col("text")), " ", -1)).alias("w"))
-        .filter(F.length("w") > 0)
-        .distinct()
-    )
-    return words.groupBy("doc_id").agg(
-        F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("w")))).alias("fp")
-    )
+    from post_ocr_corretion_spark.operators.textstats import fingerprints
+
+    return fingerprints(_t(spark, sf, "documents"))
 
 
 def q_streaming_window(spark, sf):
@@ -507,6 +454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_except_nations": q_u3_except_nations,
         "d6_split": q_d6_split,
         "dedup_exact": q_dedup_exact,
+        "embed_near_dup": q_embed_near_dup,
+        "lsh_near_dup": q_lsh_near_dup,
+        "j3_labels": q_j3_labels,
+        "d2_split_to_fit": q_d2_split_to_fit,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -521,8 +472,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_bucket_sql() -> str:
+    from post_ocr_corretion_spark.operators.similarity import hyperplanes
+
+    parts = []
+    for p in hyperplanes(6, 64):
+        lits = "[" + ",".join(repr(x) for x in p) + "]"
+        parts.append(f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "embed_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "lsh_near_dup": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            bucketed AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bkt FROM e)
+            SELECT a.vec_id AS da, b.vec_id AS db,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+            FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "j3_labels": """
+            WITH pairs AS (
+              SELECT a.doc_id AS doc_id, string_split(a.text, ' ') AS iw, string_split(b.text, ' ') AS ow
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 2 = 0
+            ), ipos AS (
+              SELECT doc_id, abs(len(iw) - len(ow)) AS delta, unnest(range(len(iw))) AS pos, iw, ow
+              FROM pairs
+            )
+            SELECT doc_id, pos,
+                   CASE WHEN len(list_filter(range(greatest(0, pos - delta - 1), least(len(ow), pos + delta + 1)),
+                                j -> ow[j + 1] = iw[pos + 1])) > 0 THEN 1 ELSE 0 END AS label
+            FROM ipos
+        """,
+        "d2_split_to_fit": r"""
+            WITH RECURSIVE split(seq) AS (
+              SELECT lower(regexp_replace(text, '\\', '', 'g')) AS seq FROM documents
+              UNION ALL
+              SELECT part FROM (
+                SELECT unnest([substr(seq, 1, bp), substr(seq, bp + 2)]) AS part
+                FROM (
+                  SELECT seq,
+                    (SELECT pos FROM (SELECT unnest(range(length(seq))) AS pos) t
+                      WHERE substr(seq, pos + 1, 1) = ' '
+                      ORDER BY abs(pos - length(seq)/2.0) ASC, pos ASC LIMIT 1) AS bp
+                  FROM split WHERE length(seq) > 256
+                ) WHERE bp IS NOT NULL
+              )
+            )
+            SELECT seq FROM split WHERE length(seq) <= 256
+        """,
         "p2_clean_text": r"""
             SELECT doc_id, lower(regexp_replace(text, '\\', '', 'g')) AS clean FROM documents
         """,

@@ -1,0 +1,106 @@
+"""Deduplication operators for training-data pipelines (round-1 brief):
+exact, char-shingle Jaccard, MinHash+LSH, SimHash — all pure Catalyst, all
+with DuckDB-oracle-compatible determinism (md5-based hashing, so the SQL
+oracle reproduces every signature bit-for-bit).
+
+Scale notes: shingle self-joins are quadratic in bucket size — MinHash
+banding bounds the candidate pairs (band key join is an equi-join AQE can
+skew-split); exact dedup is a single hash aggregate.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import clean_text
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: (h, cnt, keep_doc) — keep_doc is the
+    smallest id of each duplicate group (the canonical representative)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("h")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("keep_doc")
+    )
+
+
+def char_shingles(docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct char k-gram shingles per doc: (doc_id, sh)."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.greatest(F.length(text_col) - k, F.lit(0)))).alias("i"),
+            F.col(text_col),
+        )
+        .select(id_col, F.substring(F.col(text_col), F.col("i") + 1, k).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:
+    """n-gram Jaccard near-dup: (da, db, jaccard) for pairs ≥ threshold."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("da"), F.col("nsh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("db"), F.col("nsh").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "da").join(sb, "db")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("da", "db", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """MinHash via salted md5 minima — deterministic and SQL-reproducible.
+    Columns: doc_id, m1..m<n>."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"s{j}")))).alias(f"m{j}")
+        for j in range(1, n_hashes + 1)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 2, rows_per_band: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (b bands × r rows), bucket-join per band →
+    distinct candidate pairs (da, db)."""
+    band_dfs = []
+    for b in range(bands):
+        cols = [F.col(f"m{b * rows_per_band + r + 1}") for r in range(rows_per_band)]
+        band_dfs.append(sig.select(id_col, F.concat(*cols).alias("band")))
+    banded = band_dfs[0]
+    for d in band_dfs[1:]:
+        banded = banded.union(d)
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("da"), F.col(f"y.{id_col}").alias("db"))
+        .distinct()
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over distinct words; bit b = parity of the b-th md5 hex
+    char (deterministic across engines). Columns: doc_id, simhash."""
+    words = (
+        docs.select(id_col, F.explode(F.split(clean_text(F.col(text_col)), " ", -1)).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+    )
+    per_bit = words.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "w"
+    ).withColumn(
+        "v", F.when(F.ascii(F.substring(F.md5(F.col("w")), F.col("b") + 1, 1)) % 2 == 1, 1).otherwise(-1)
+    )
+    sums = per_bit.groupBy(id_col, "b").agg(F.sum("v").alias("s"))
+    return (
+        sums.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy(id_col)
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("b", "bit")))["bit"]).alias("simhash"))
+    )
