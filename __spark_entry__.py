@@ -416,6 +416,31 @@ def q_flagship_correct(spark, sf):
     return run_pipeline(spark, sf).select("url", "kind", "extracted_text", "corrected_text")
 
 
+def _doc_pairs(spark, sf):
+    d = _t(spark, sf, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
+    b = d.filter(F.col("doc_id") % 2 == 1).select((F.col("doc_id") - 1).alias("da"), F.col("text").alias("tb"))
+    return a.join(b, "da")
+
+
+def q_cer(spark, sf):
+    """CER via built-in levenshtein (substitution cost 1) — oracle-backed
+    (DuckDB levenshtein is the same classic distance)."""
+    p = _doc_pairs(spark, sf)
+    return p.select(
+        "da",
+        F.round(F.levenshtein("ta", "tb") / F.greatest(F.length("tb"), F.lit(1)), 6).alias("cer"),
+    )
+
+
+def q_wer(spark, sf):
+    """Rows-only: token-level edit distance has no SQL built-in."""
+    from post_ocr_corretion_spark.functions.udfs import wer_udf
+
+    p = _doc_pairs(spark, sf)
+    return p.select("da", F.round(wer_udf(F.col("ta"), F.col("tb")), 6).alias("wer"))
+
+
 def q_m5_indel_ratio(spark, sf):
     """Rows-only: exact Levenshtein.ratio (indel, substitution cost 2) —
     DuckDB's levenshtein() uses substitution cost 1, so no SQL oracle."""
@@ -469,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window": q_streaming_window,
         "flagship_correct": q_flagship_correct,
         "m5_indel_ratio": q_m5_indel_ratio,
+        "cer": q_cer,
+        "wer": q_wer,
     }
 
 
@@ -502,6 +529,12 @@ def oracle_sql() -> dict[str, str]:
             FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "cer": """
+            WITH a AS (SELECT doc_id AS da, text AS ta FROM documents WHERE doc_id % 2 = 0),
+                 b AS (SELECT doc_id - 1 AS da, text AS tb FROM documents WHERE doc_id % 2 = 1)
+            SELECT a.da AS da, round(levenshtein(ta, tb) * 1.0 / greatest(length(tb), 1), 6) AS cer
+            FROM a JOIN b ON a.da = b.da
         """,
         "j3_labels": """
             WITH pairs AS (

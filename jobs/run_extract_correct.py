@@ -1,0 +1,81 @@
+"""spark-submit entry for the flagship extract+correct job (north rule).
+
+Ships with the package via ``--py-files``:
+
+    cd /root/repo && zip -r /tmp/pkg.zip post_ocr_corretion_spark
+    spark-submit --py-files /tmp/pkg.zip jobs/run_extract_correct.py \
+        --sf-dir /root/testdata/sf0.01 --out /tmp/extract_correct_out
+
+Output is a snapshot-committed parquet table (io/snapshots.py): atomic
+manifest, per-file lineage rows + counters, and crash-safe RESUME — re-run
+the same command after an interruption and the job either resumes from the
+last committed snapshot (default) or appends a new one (--new-snapshot).
+Job-level counters (pages, html bytes, pdf stubs, corrected pages) are
+collected via ``df.observe`` and printed as one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--mode", choices=["udf", "catalyst"], default="udf")
+    parser.add_argument(
+        "--new-snapshot", action="store_true", help="always write a new snapshot instead of resuming"
+    )
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+    from post_ocr_corretion_spark.pipeline import run_pipeline
+    from post_ocr_corretion_spark.session import get_spark
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="extract_correct", cores=args.cores)
+    writer = SnapshotWriter(args.out)
+
+    obs = Observation("counters")
+
+    def job():
+        df = run_pipeline(spark, args.sf_dir, mode=args.mode)
+        return df.observe(
+            obs,
+            F.count(F.lit(1)).alias("pages"),
+            F.sum(F.when(F.col("kind") == "pdf_stub", 1).otherwise(0)).alias("pdf_stubs"),
+            F.sum(F.length("corrected_text")).alias("corrected_chars"),
+        )
+
+    if args.new_snapshot and writer.latest() is not None:
+        df = job()
+        sid = writer.write(df, key_col="url")
+        resumed = False
+    else:
+        df, resumed = writer.resume_or_run(spark, job, key_col="url")
+        sid = writer.latest()
+
+    lineage = writer.read_lineage(spark, sid)
+    summary = {
+        "snapshot_id": sid,
+        "resumed": resumed,
+        "rows": writer.manifest(sid)["rows"],
+        "lineage_files": lineage.count(),
+        "counters": None if resumed else obs.get,
+    }
+    print(json.dumps(summary, default=str))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,45 @@ def indel_ratio(a: str, b: str, lowercase: bool = True) -> float:
     return 2.0 * lcs_len(a, b) / total
 
 
+def edit_distance(a, b) -> int:
+    """Classic Levenshtein distance (substitution cost 1) over strings OR
+    token lists — the CER/WER distance. Numpy DP with a prefix-min trick
+    for the in-row dependency: cur[j] = min_k≤j (cand[k] + (j-k))."""
+    if len(a) == 0:
+        return len(b)
+    if len(b) == 0:
+        return len(a)
+    if isinstance(a, str) and isinstance(b, str):
+        av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    else:
+        vocab = {t: i for i, t in enumerate(dict.fromkeys(list(a) + list(b)))}
+        av = np.array([vocab[t] for t in a], dtype=np.int64)
+        bv = np.array([vocab[t] for t in b], dtype=np.int64)
+    m = len(bv)
+    prev = np.arange(m + 1, dtype=np.int64)
+    j_idx = np.arange(1, m + 1, dtype=np.int64)
+    for ca in av:
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + (bv != ca))
+        cur0 = prev[0] + 1
+        # cur[j] = min( min_{k≤j}(cand[k]−k) + j , cur0 + j )
+        best = np.minimum.accumulate(cand - j_idx) + j_idx
+        prev = np.concatenate(([cur0], np.minimum(best, cur0 + j_idx)))
+    return int(prev[-1])
+
+
+def cer(hyp: str, ref: str) -> float:
+    """Character error rate: edit_distance / len(ref) (1.0 floor on the
+    denominator for empty refs)."""
+    return edit_distance(hyp, ref) / max(1, len(ref))
+
+
+def wer(hyp: str, ref: str) -> float:
+    """Word error rate over whitespace tokens."""
+    r = ref.split()
+    return edit_distance(hyp.split(), r) / max(1, len(r))
+
+
 def avg_levenshtein_ratio(produced: list[str], correct: list[str]) -> tuple[float, float]:
     """A12 (seq2seqEvaluation.py:63-72): mean and POPULATION std of the
     per-pair ratios (np.std is population std — SURVEY.md §2.4 A11)."""

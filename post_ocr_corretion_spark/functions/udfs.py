@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.levenshtein import indel_ratio
+from ..core.levenshtein import cer, indel_ratio, wer
 
 
 def make_word_prob_udf(scorer_bc):
@@ -65,3 +65,19 @@ def indel_ratio_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Se
         yield pd.Series(
             [indel_ratio(x if x is not None else "", y if y is not None else "") for x, y in zip(a, b)]
         )
+
+
+@F.pandas_udf(T.DoubleType())
+def cer_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Character error rate (hyp, ref). Matches built-in levenshtein/len
+    but lives here so the eval path has one import point."""
+    for hyp, ref in it:
+        yield pd.Series([cer(h or "", r or "") for h, r in zip(hyp, ref)])
+
+
+@F.pandas_udf(T.DoubleType())
+def wer_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Word error rate over whitespace tokens (hyp, ref) — no Spark
+    built-in exists for token-level edit distance."""
+    for hyp, ref in it:
+        yield pd.Series([wer(h or "", r or "") for h, r in zip(hyp, ref)])
