@@ -105,6 +105,11 @@ def correct_sentence(
         for _, s, _ in batch:
             w_total += s
         pruned = _prune(beams, n, beam_width)
+        # Within one batch every candidate sentence shares the prefix and
+        # suffix around idx, so full-text tie-break order equals comparing
+        # cand_word + joiner (words contain no chars ≤ ' ', guaranteed by
+        # str.split()) — entries are materialized only for the survivors.
+        sep = " " if idx < n - 1 else ""
         new_beams: list[_Entry] = []
         for b in pruned:
             p_old = b.probs[idx]
@@ -112,16 +117,18 @@ def correct_sentence(
             s_total = 0.0
             for ps in psums:
                 s_total += ps / n
-            scored = []
-            for (cw, cs, cp), ps in zip(batch, psums):
-                entry = _Entry(
-                    b.words[:idx] + [cw] + b.words[idx + 1 :],
-                    b.probs[:idx] + [cp] + b.probs[idx + 1 :],
-                    ps,
+            scored = [
+                (-(cs / w_total + (ps / n) / s_total), cw + sep, cw, cp, ps)
+                for (cw, cs, cp), ps in zip(batch, psums)
+            ]
+            scored.sort(key=lambda t: (t[0], t[1]))
+            for _, _, cw, cp, ps in scored[:beam_width]:
+                new_beams.append(
+                    _Entry(
+                        b.words[:idx] + [cw] + b.words[idx + 1 :],
+                        b.probs[:idx] + [cp] + b.probs[idx + 1 :],
+                        ps,
+                    )
                 )
-                total = cs / w_total + (ps / n) / s_total
-                scored.append((total, entry))
-            scored.sort(key=lambda t: (-t[0], t[1].text))
-            new_beams.extend(e for _, e in scored[:beam_width])
         beams = new_beams
     return _prune(beams, n, 1)[0].words
