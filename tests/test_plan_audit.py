@@ -1,0 +1,36 @@
+"""Lock in physical-plan properties: pruning, pushdown, broadcast."""
+from __future__ import annotations
+
+import __spark_entry__ as em
+from post_ocr_corretion_spark.plans.audit import (
+    assert_columns_pruned,
+    join_strategies,
+    pushed_filters,
+    scan_read_schemas,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_lexicon_scan_reads_only_text(spark):
+    df = em.queries()["a2_lexicon_words"](spark, SF)
+    schemas = scan_read_schemas(df)
+    assert schemas and all(s == "struct<text:string>" for s in schemas)
+
+
+def test_revenue_join_is_broadcast_and_pruned(spark):
+    df = em.queries()["j4_revenue_by_nation"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}  # never sort-merge
+    assert_columns_pruned(df, ["o_orderdate", "o_orderpriority", "c_name", "c_acctbal"])
+    assert any("IsNotNull" in f for f in pushed_filters(df))
+
+
+def test_band_join_broadcasts(spark):
+    df = em.queries()["j3_band_join"](spark, SF)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_textstats_prunes_to_consumed_columns(spark):
+    df = em.queries()["textstats_quality"](spark, SF)
+    assert_columns_pruned(df, ["lang", "source"])
