@@ -423,6 +423,37 @@ def _doc_pairs(spark, sf):
     return a.join(b, "da")
 
 
+def q_a14_word_diff(spark, sf):
+    """A14 (analisys.py:53-59): per pair, input words absent from the
+    output word list."""
+    from post_ocr_corretion_spark.operators.metrics import word_difference_count
+
+    p = _doc_pairs(spark, sf).select(
+        F.col("da").alias("doc_id"),
+        F.split("ta", " ", -1).alias("input_words"),
+        F.split("tb", " ", -1).alias("output_words"),
+    )
+    return word_difference_count(p).select(F.col("doc_id").alias("da"), "n_diff")
+
+
+def q_a15_dataset_analysis(spark, sf):
+    """A15 (analisys.py:34-51): corpus-level uncommon-word ratio against
+    the shipped word list (the NLTK stand-in)."""
+    from post_ocr_corretion_spark.datagen.wordlist import COMMON_WORDS
+
+    d = _t(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ", -1)).alias("w")).filter(F.length("w") > 0)
+    lex = spark.createDataFrame([(w,) for w in sorted(set(COMMON_WORDS))], "lw string")
+    flagged = words.join(F.broadcast(lex), words.w == lex.lw, "left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total_words"),
+        F.sum(F.when(F.col("lw").isNull(), 1).otherwise(0)).alias("uncommon_words"),
+        F.round(
+            F.sum(F.when(F.col("lw").isNull(), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("uncommon_ratio"),
+    )
+
+
 def q_cer(spark, sf):
     """CER via built-in levenshtein (substitution cost 1) — oracle-backed
     (DuckDB levenshtein is the same classic distance)."""
@@ -496,6 +527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_indel_ratio": q_m5_indel_ratio,
         "cer": q_cer,
         "wer": q_wer,
+        "a14_word_diff": q_a14_word_diff,
+        "a15_dataset_analysis": q_a15_dataset_analysis,
     }
 
 
@@ -509,8 +542,32 @@ def _lsh_bucket_sql() -> str:
     return " || ".join(parts)
 
 
+def _common_words_sql() -> str:
+    from post_ocr_corretion_spark.datagen.wordlist import COMMON_WORDS
+
+    return ",".join(f"('{w}')" for w in sorted(set(COMMON_WORDS)))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "a14_word_diff": """
+            WITH a AS (SELECT doc_id AS da, string_split(text, ' ') AS iw FROM documents WHERE doc_id % 2 = 0),
+                 b AS (SELECT doc_id - 1 AS da, string_split(text, ' ') AS ow FROM documents WHERE doc_id % 2 = 1)
+            SELECT a.da AS da, len(list_filter(iw, w -> NOT list_contains(ow, w))) AS n_diff
+            FROM a JOIN b ON a.da = b.da
+        """,
+        "a15_dataset_analysis": f"""
+            WITH lex(lw) AS (VALUES {_common_words_sql()}),
+            w AS (
+              SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ), f AS (
+              SELECT w.w, lex.lw FROM w LEFT JOIN lex ON w.w = lex.lw WHERE length(w.w) > 0
+            )
+            SELECT count(*) AS total_words,
+                   sum(CASE WHEN lw IS NULL THEN 1 ELSE 0 END) AS uncommon_words,
+                   round(sum(CASE WHEN lw IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS uncommon_ratio
+            FROM f
+        """,
         "embed_near_dup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS da, b.vec_id AS db,
