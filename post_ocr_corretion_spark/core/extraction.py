@@ -42,9 +42,10 @@ class _BlockExtractor(HTMLParser):
     def __init__(self, raw: str):
         super().__init__(convert_charrefs=True)
         self._line_starts = [0]
-        for i, ch in enumerate(raw):
-            if ch == "\n":
-                self._line_starts.append(i + 1)
+        idx = raw.find("\n")
+        while idx != -1:  # str.find runs at C speed, vs a per-char loop
+            self._line_starts.append(idx + 1)
+            idx = raw.find("\n", idx + 1)
         self.prune_depth = 0
         self.link_depth = 0
         self.blocks: list[tuple[str, int, int]] = []
