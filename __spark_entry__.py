@@ -395,9 +395,11 @@ def q_fingerprint(spark, sf):
 
 def q_streaming_window(spark, sf):
     e = _t(spark, sf, "events")
+    # NTZ-safe: format the wall-clock hour as a string — identical in any
+    # session timezone (unix_timestamp of an NTZ value is TZ-dependent)
     return (
         e.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour_bucket"),
             "event_type",
         )
         .agg(
@@ -911,7 +913,7 @@ def oracle_sql() -> dict[str, str]:
             FROM words GROUP BY doc_id
         """,
         "streaming_window": """
-            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket, event_type,
                    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
         """,
