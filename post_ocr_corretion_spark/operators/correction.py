@@ -126,6 +126,11 @@ def run_beam(
             beam_width,
         )
         pos = F.col("cur_err")["pos"]
+        # within one candidate batch every sentence shares prefix+suffix,
+        # so full-text tie-break order == comparing cand_word + joiner
+        # (see core/beam.py) — entries are materialized only for the
+        # beam_width survivors, keeping the per-round expression small
+        sep = F.when(pos < F.col("n") - 1, F.lit(" ")).otherwise(F.lit(""))
 
         def expand(b):
             p_old = F.element_at(b["probs"], pos + 1)
@@ -143,33 +148,36 @@ def run_beam(
                 with_psum,
                 lambda x: F.struct(
                     (x["score"] / F.col("w_total") + (x["psum2"] / n) / s_total).alias("total"),
-                    F.struct(
-                        F.concat(
-                            F.slice(b["words"], 1, pos),
-                            F.array(x["word"]),
-                            F.slice(b["words"], pos + 2, F.col("n") - pos - 1),
-                        ).alias("words"),
-                        F.concat(
-                            F.slice(b["probs"], 1, pos),
-                            F.array(x["p"]),
-                            F.slice(b["probs"], pos + 2, F.col("n") - pos - 1),
-                        ).alias("probs"),
-                        x["psum2"].alias("psum"),
-                    ).alias("entry"),
+                    F.concat(x["word"], sep).alias("tie"),
+                    x["word"].alias("word"),
+                    x["p"].alias("p"),
+                    x["psum2"].alias("psum2"),
                 ),
             )
             top = F.slice(
                 F.array_sort(
                     scored,
-                    lambda a, b2: _cmp(
-                        a["total"], F.concat_ws(" ", a["entry"]["words"]),
-                        b2["total"], F.concat_ws(" ", b2["entry"]["words"]),
-                    ),
+                    lambda a, b2: _cmp(a["total"], a["tie"], b2["total"], b2["tie"]),
                 ),
                 1,
                 beam_width,
             )
-            return F.transform(top, lambda t: t["entry"])
+            return F.transform(
+                top,
+                lambda t: F.struct(
+                    F.concat(
+                        F.slice(b["words"], 1, pos),
+                        F.array(t["word"]),
+                        F.slice(b["words"], pos + 2, F.col("n") - pos - 1),
+                    ).alias("words"),
+                    F.concat(
+                        F.slice(b["probs"], 1, pos),
+                        F.array(t["p"]),
+                        F.slice(b["probs"], pos + 2, F.col("n") - pos - 1),
+                    ).alias("probs"),
+                    t["psum2"].alias("psum"),
+                ),
+            )
 
         new_beams = F.when(
             F.col("cur_err").isNull() | F.col("cands").isNull(), F.col("beams")
