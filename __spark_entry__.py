@@ -348,7 +348,7 @@ def q_embed_near_dup(spark, sf):
 def q_lsh_near_dup(spark, sf):
     from post_ocr_corretion_spark.operators.similarity import hyperplanes, lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(_emb(spark, sf), hyperplanes(6, 64), threshold=0.35)
+    return lsh_near_dup_pairs(_emb(spark, sf), hyperplanes(16, 64), threshold=0.35, bands=4)
 
 
 def q_j3_labels(spark, sf):
@@ -534,14 +534,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _lsh_bucket_sql() -> str:
+def _lsh_banded_sql() -> str:
+    """UNION ALL of the 4 per-band bucketed selects (4 planes per band),
+    plane literals identical to operators.similarity.hyperplanes(16, 64)."""
     from post_ocr_corretion_spark.operators.similarity import hyperplanes
 
-    parts = []
-    for p in hyperplanes(6, 64):
-        lits = "[" + ",".join(repr(x) for x in p) + "]"
-        parts.append(f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN '1' ELSE '0' END)")
-    return " || ".join(parts)
+    planes = hyperplanes(16, 64)
+    selects = []
+    for bi in range(4):
+        bits = []
+        for p in planes[bi * 4 : (bi + 1) * 4]:
+            lits = "[" + ",".join(repr(x) for x in p) + "]"
+            bits.append(f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN '1' ELSE '0' END)")
+        selects.append(f"SELECT vec_id, v, '{bi}:' || {' || '.join(bits)} AS bkt FROM e")
+    return " UNION ALL ".join(selects)
 
 
 def _common_words_sql() -> str:
@@ -581,11 +587,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_near_dup": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            bucketed AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bkt FROM e)
-            SELECT a.vec_id AS da, b.vec_id AS db,
+            banded AS ({_lsh_banded_sql()})
+            SELECT DISTINCT a.vec_id AS da, b.vec_id AS db,
                    round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-            FROM bucketed a JOIN bucketed b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+            FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
         """,

@@ -69,21 +69,134 @@ def lsh_near_dup_pairs(
     emb: DataFrame,
     planes: list[list[float]],
     threshold: float = 0.9,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "v",
 ) -> DataFrame:
-    """Bucket by hyperplane signs, score cosine only within buckets →
-    (da, db, cos) pairs ≥ threshold. The scale path for near-dup."""
-    bucketed = emb.select(id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("bkt"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    ).select(
-        F.col(f"a.{id_col}").alias("da"),
-        F.col(f"b.{id_col}").alias("db"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+    """Multi-band random-hyperplane LSH: split the planes into ``bands``
+    bucket keys, take the union of per-band bucket collisions as the
+    candidate set, verify candidates with exact cosine → (da, db, cos)
+    pairs ≥ threshold. More bands of fewer planes = higher recall at the
+    cost of more candidates — the classic banding trade-off. The scale
+    path for near-dup: only intra-bucket pairs are ever scored."""
+    per_band = max(1, len(planes) // bands)
+    chunks = [planes[i * per_band : (i + 1) * per_band] for i in range(bands)]
+    banded = None
+    for bi, chunk in enumerate(chunks):
+        part = emb.select(
+            id_col,
+            vec_col,
+            F.concat(F.lit(f"{bi}:"), lsh_bucket(F.col(vec_col), chunk)).alias("bkt"),
+        )
+        banded = part if banded is None else banded.union(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("da"),
+            F.col(f"b.{id_col}").alias("db"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+        )
+        .distinct()
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    return cand.filter(F.col("cos") >= threshold)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    seed: int = LSH_SEED,
+    vec_col: str = "v",
+    sample: int = 2048,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means on a driver-side sample (the IVF
+    coarse quantizer). At corpus scale the sample is a fixed-fraction
+    deterministic take (hash-ordered), so the centroids are a small model
+    artifact — like the scorer — fit once and broadcast."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rs = np.random.RandomState(seed)
+    C = X[rs.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                C[j] = c / np.linalg.norm(c)
+    return [[float(x) for x in c] for c in C]
+
+
+def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """array of cosine(vec, centroid_j) in centroid order."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec_col, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / norm
+            for c in centroids
+        ]
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]], id_col="vec_id", vec_col="v") -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF list id)."""
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    best = F.array_position(scores, F.array_max(scores)) - 1
+    return emb.select(id_col, vec_col, best.cast("int").alias("list_id"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF search: probe the nprobe nearest lists per query, brute-force
+    cosine only within them — the scale path (scans nprobe/k of the
+    corpus). Approximate: recall measured against brute_force_topk in
+    tests."""
+    corpus = ivf_assign(emb, centroids, id_col, vec_col)
+    qscores = _centroid_scores(F.col("qv"), centroids)
+    probes = queries.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            qscores, lambda s, i: F.struct((-s).alias("neg"), i.alias("list_id"))
+                        )
+                    ),
+                    lambda x: x["list_id"],
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("list_id"),
+    )
+    scored = (
+        probes.join(corpus, "list_id")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def cosine_near_dup_pairs(
