@@ -14,11 +14,18 @@ check, as allowed by the contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
+
+# make the repo-local package importable no matter how this module is loaded
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -351,6 +358,18 @@ def q_lsh_near_dup(spark, sf):
     return lsh_near_dup_pairs(_emb(spark, sf), hyperplanes(16, 64), threshold=0.35, bands=4)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """Rows-only: IVF (k-means coarse quantizer, nprobe=3 of 8 lists) —
+    approximate by design, so no SQL oracle; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    from post_ocr_corretion_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    cents = kmeans_centroids(emb, k=8, iters=5)
+    return ivf_topk(emb, q, cents, k=5, nprobe=3).select("qid", "rnk", "vec_id", "cos")
+
+
 def q_j3_labels(spark, sf):
     from post_ocr_corretion_spark.operators.labels import window_containment_labels
 
@@ -514,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embed_near_dup": q_embed_near_dup,
         "lsh_near_dup": q_lsh_near_dup,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "j3_labels": q_j3_labels,
         "d2_split_to_fit": q_d2_split_to_fit,
         "dedup_jaccard": q_dedup_jaccard,
