@@ -34,3 +34,17 @@ def test_band_join_broadcasts(spark):
 def test_textstats_prunes_to_consumed_columns(spark):
     df = em.queries()["textstats_quality"](spark, SF)
     assert_columns_pruned(df, ["lang", "source"])
+
+
+def test_flagship_udf_mode_shape(spark):
+    """The throughput path is exactly two Python stages and one exchange
+    (PLANS.md shuffle inventory) — a regression that splits a stage or
+    adds a shuffle fails here, not in a benchmark."""
+    import re
+
+    from post_ocr_corretion_spark.pipeline import run_pipeline
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(run_pipeline(spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
