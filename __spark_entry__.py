@@ -117,6 +117,21 @@ def q_a3_bucket_hist(spark, sf):
     )
 
 
+def q_a2_word_frequencies(spark, sf):
+    from post_ocr_corretion_spark.operators.lexicon import corpus_word_frequencies
+
+    return corpus_word_frequencies(_t(spark, sf, "documents"))
+
+
+def q_segmentation_eval(spark, sf):
+    """Rows-only: Viterbi re-spacing of de-spaced text, A12-evaluated
+    (iterative DP, not SQL-expressible; quality asserted in
+    tests/test_segmenter.py — reference's published value: 0.29)."""
+    from post_ocr_corretion_spark.operators.segmenter_ops import segmentation_eval
+
+    return segmentation_eval(spark, _t(spark, sf, "documents"))
+
+
 def q_w7_split_point(spark, sf):
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     pos = docs.select(
@@ -511,6 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_strip_punct": q_p6_strip_punct,
         "a1_char_vocab": q_a1_char_vocab,
         "a2_lexicon_words": q_a2_lexicon_words,
+        "a2_word_frequencies": q_a2_word_frequencies,
+        "segmentation_eval": q_segmentation_eval,
         "a3_bucket_hist": q_a3_bucket_hist,
         "w7_split_point": q_w7_split_point,
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
@@ -689,6 +706,18 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             )
             SELECT DISTINCT word FROM s WHERE length(word) > 0
+        """,
+        "a2_word_frequencies": rf"""
+            WITH w AS (
+              SELECT unnest(string_split(lower(regexp_replace(text, '\\', '', 'g')), ' ')) AS word
+              FROM documents
+            ), s AS (
+              SELECT lower(CASE WHEN length(word) > 0 AND substr(word, length(word), 1) IN {_PUNCT_SQL}
+                          THEN regexp_replace(word, '(.+)[.,!?;]', '\1', 'g')
+                          ELSE word END) AS word
+              FROM w
+            )
+            SELECT word, count(*) AS freq FROM s WHERE length(word) > 0 GROUP BY word
         """,
         "a3_bucket_hist": rf"""
             WITH w AS (

@@ -91,6 +91,18 @@ def train_words(sentences: list[str]) -> set[str]:
     return out
 
 
+def train_word_counts(sentences: list[str]) -> dict[str, int]:
+    """A2 with frequencies — the unigram counts that feed the Viterbi
+    segmenter (same cleaning path as train_words)."""
+    out: dict[str, int] = {}
+    for sentence in sentences:
+        for w in clean_text(sentence).split(" "):
+            w = remove_punctuation(w).lower()
+            if w:
+                out[w] = out.get(w, 0) + 1
+    return out
+
+
 def sentence_words(text: str) -> list[str]:
     """Word split used by the corrector (correctionSentences.py:257):
     Python ``str.split()`` — any-whitespace runs, empties dropped."""

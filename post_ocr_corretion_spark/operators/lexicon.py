@@ -35,6 +35,18 @@ def corpus_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A2 with counts — unigram frequencies feeding the Viterbi segmenter
+    (operators/segmenter_ops.py). Columns: word, freq."""
+    return (
+        docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
+        .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def build_lexicon(
     spark: SparkSession, docs: DataFrame, base_words: tuple[str, ...] = (), text_col: str = "text"
 ) -> DataFrame:
