@@ -269,6 +269,51 @@ def q_a11_avg_std(spark, sf):
     )
 
 
+def q_rollup_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+def q_cube_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+def q_json_props(spark, sf):
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+def q_distinct_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
 def q_w1_topk_orders(spark, sf):
     o = _t(spark, sf, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
@@ -542,6 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_prf": q_a10_prf,
         "a11_avg_std": q_a11_avg_std,
         "w1_topk_orders": q_w1_topk_orders,
+        "rollup_counts": q_rollup_counts,
+        "cube_counts": q_cube_counts,
+        "json_props": q_json_props,
+        "distinct_counts": q_distinct_counts,
         "w6_lag_events": q_w6_lag_events,
         "s3_limit_top50": q_s3_limit_top50,
         "u1_union_nations": q_u1_union_nations,
@@ -822,6 +871,26 @@ def oracle_sql() -> dict[str, str]:
         "a11_avg_std": """
             SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty,
                    round(stddev_pop(l_quantity), 6) AS std_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "json_props": """
+            SELECT event_type, count(*) AS n,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
             FROM lineitem GROUP BY l_returnflag
         """,
         "w1_topk_orders": """
