@@ -47,14 +47,22 @@ def _encode(word: str) -> np.ndarray:
 
 
 class NGramScorer:
-    """Bigram char LM over the lexicon + membership test."""
+    """Bigram char LM over the lexicon + membership test.
 
-    def __init__(self, lexicon: frozenset[str] | set[str]):
-        self.lexicon = frozenset(lexicon)
-        counts = np.ones((V, V), dtype=np.float64)  # add-one smoothing
-        for w in self.lexicon:
-            e = _encode(w)
-            np.add.at(counts, (e[:-1], e[1:]), 1.0)
+    ``membership``/``counts`` let the cluster-scale variants inject their
+    artifacts: a distributively-aggregated bigram count matrix
+    (operators/scorer_fit.py — bit-identical to the local fit, tested)
+    and/or a Bloom-filter membership set (core/bloom.py — documented
+    false-positive semantics; identical scoring wherever the filter
+    agrees with the exact set)."""
+
+    def __init__(self, lexicon: frozenset[str] | set[str], membership=None, counts: np.ndarray | None = None):
+        self.lexicon = membership if membership is not None else frozenset(lexicon)
+        if counts is None:
+            counts = np.ones((V, V), dtype=np.float64)  # add-one smoothing
+            for w in lexicon:
+                e = _encode(w)
+                np.add.at(counts, (e[:-1], e[1:]), 1.0)
         self.log_prob = np.log(counts / counts.sum(axis=1, keepdims=True))
 
     def _mean_lp(self, word: str) -> float:
