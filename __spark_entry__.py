@@ -37,6 +37,9 @@ _STOP_SQL = "(" + ",".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from post_ocr_corretion_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)  # workers must import the package even if the driver cwd differs
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -65,6 +65,9 @@ def run_pipeline_from_docs(
     mode: str = "udf",
     partitions: int | None = None,
 ) -> DataFrame:
+    from .session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     # A single parquet file arrives as one input split; spread the per-doc
     # work (render/extract/correct are all embarrassingly parallel) across
     # every core up front. Hashing the key also breaks the skewed-host

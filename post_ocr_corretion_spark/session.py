@@ -12,6 +12,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make this package importable in the Python WORKERS regardless of
+    the driver's cwd/PYTHONPATH: zip the package sources once and
+    sc.addPyFile them (the spark-submit --py-files mechanism, applied to
+    a live session). Without this, a harness that creates its own
+    SparkSession from another working directory can import the package
+    on the driver but the executors' unpickling fails."""
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if getattr(sc, "_pocs_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"pocs_pkg_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._pocs_pkg_shipped = True
+
+
 def get_spark(
     app_name: str = "post_ocr_corretion_spark",
     cores: int | None = None,
