@@ -55,12 +55,14 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.length("corrected_text")).alias("corrected_chars"),
         )
 
+    counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
+
     if args.new_snapshot and writer.latest() is not None:
         df = job()
-        sid = writer.write(df, key_col="url")
+        sid = writer.write(df, key_col="url", counters_fn=counters_fn)
         resumed = False
     else:
-        df, resumed = writer.resume_or_run(spark, job, key_col="url")
+        df, resumed = writer.resume_or_run(spark, job, key_col="url", counters_fn=counters_fn)
         sid = writer.latest()
 
     lineage = writer.read_lineage(spark, sid)
@@ -69,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         "resumed": resumed,
         "rows": writer.manifest(sid)["rows"],
         "lineage_files": lineage.count(),
-        "counters": None if resumed else obs.get,
+        "counters": writer.manifest(sid).get("counters"),  # persisted with the commit
     }
     print(json.dumps(summary, default=str))
     if owns_session:

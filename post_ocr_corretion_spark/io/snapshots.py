@@ -56,10 +56,20 @@ class SnapshotWriter:
             return json.load(f)
 
     # ---- write path ------------------------------------------------------
-    def write(self, df: DataFrame, key_col: str | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        key_col: str | None = None,
+        counters: dict | None = None,
+        counters_fn=None,
+    ) -> int:
+        """``counters_fn`` is evaluated AFTER the data write (use it to
+        read ``Observation.get``, which only resolves post-action)."""
         sid = (self.latest() or 0) + 1
         data_path = os.path.join(self.base, "data", f"snapshot={sid}")
         df.write.mode("overwrite").parquet(data_path)
+        if counters_fn is not None:
+            counters = dict(counters or {}, **counters_fn())
 
         spark = df.sparkSession
         written = spark.read.parquet(data_path)
@@ -82,6 +92,7 @@ class SnapshotWriter:
             "lineage_path": lineage_path,
             "committed_at": time.time(),
             "schema": written.schema.simpleString(),
+            "counters": counters or {},  # job-level counters travel WITH the commit
         }
         tmp = os.path.join(self.base, "_snapshots", f".{sid}.json.tmp")
         final = os.path.join(self.base, "_snapshots", f"{sid}.json")
@@ -101,11 +112,13 @@ class SnapshotWriter:
         sid = snapshot_id if snapshot_id is not None else self.latest()
         return spark.read.parquet(self.manifest(sid)["lineage_path"])
 
-    def resume_or_run(self, spark: SparkSession, job, key_col: str | None = None) -> tuple[DataFrame, bool]:
+    def resume_or_run(
+        self, spark: SparkSession, job, key_col: str | None = None, counters_fn=None
+    ) -> tuple[DataFrame, bool]:
         """Returns (df, resumed). ``job() -> DataFrame`` runs only when no
         committed snapshot exists — the north-rule resume semantics."""
         if self.latest() is not None:
             return self.read(spark), True
         df = job()
-        sid = self.write(df, key_col=key_col)
+        sid = self.write(df, key_col=key_col, counters_fn=counters_fn)
         return self.read(spark, sid), False
