@@ -272,6 +272,32 @@ def q_a11_avg_std(spark, sf):
     )
 
 
+def q_grouped_quantiles(spark, sf):
+    """Grouped-map applyInPandas (M7 surface): per-event-type value
+    quantiles via np.percentile(linear) — DuckDB quantile_cont is the
+    same interpolation."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf, "events").select("event_type", "value")
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "p50": [round(float(np.percentile(v, 50)), 6)],
+                "p90": [round(float(np.percentile(v, 90)), 6)],
+                "p99": [round(float(np.percentile(v, 99)), 6)],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        profile, "event_type string, n long, p50 double, p90 double, p99 double"
+    )
+
+
 def q_rollup_counts(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -591,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_avg_std": q_a11_avg_std,
         "w1_topk_orders": q_w1_topk_orders,
         "rollup_counts": q_rollup_counts,
+        "grouped_quantiles": q_grouped_quantiles,
         "cube_counts": q_cube_counts,
         "json_props": q_json_props,
         "distinct_counts": q_distinct_counts,
@@ -875,6 +902,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty,
                    round(stddev_pop(l_quantity), 6) AS std_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouped_quantiles": """
+            SELECT event_type, count(*) AS n,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.90), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
         """,
         "rollup_counts": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
