@@ -59,13 +59,16 @@ def _prune(entries: list[_Entry], n: int, k: int) -> list[_Entry]:
 
 
 def candidate_batch(
-    err_word: str, scorer: NGramScorer, lexicon: frozenset[str] | set[str]
+    err_word: str,
+    scorer: NGramScorer,
+    lexicon: frozenset[str] | set[str],
+    max_distance: int = 1,
 ) -> list[tuple[str, float, float]]:
     """The pinned, ordered candidate batch for one error word (original
     case, as it appears in the sentence): sorted (word, score) pairs from
     ``get_alternative_word(err_word.lower())``, each with its own word
     prob, then +punct variants in the same order."""
-    base = sorted(get_alternative_word(err_word.lower(), lexicon))
+    base = sorted(get_alternative_word(err_word.lower(), lexicon, max_distance))
     batch = [(w, s, scorer.word_prob(w)) for w, s in base]
     punct = add_last_punctuation(err_word)
     if punct:
@@ -80,6 +83,7 @@ def correct_sentence(
     beam_width: int = BEAM_WIDTH,
     prob_fn=None,
     cand_fn=None,
+    max_distance: int = 1,
 ) -> list[str]:
     """Returns the corrected word list for one document.
 
@@ -87,7 +91,7 @@ def correct_sentence(
     candidate-batch lookups (the Spark UDF path injects memoized versions
     — executor-local dedup of the distinct-error-word work)."""
     prob_fn = prob_fn or scorer.word_prob
-    cand_fn = cand_fn or (lambda w: candidate_batch(w, scorer, lexicon))
+    cand_fn = cand_fn or (lambda w: candidate_batch(w, scorer, lexicon, max_distance))
     words = sentence_words(text)
     n = len(words)
     if n == 0:

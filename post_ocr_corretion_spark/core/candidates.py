@@ -61,12 +61,57 @@ def distance1_matches(w: str, lexicon: frozenset[str] | set[str]) -> set[tuple[s
     return out
 
 
-def get_alternative_word(word: str, lexicon: frozenset[str] | set[str]) -> set[tuple[str, float]]:
+def one_op_strings(s: str) -> set[tuple[str, float]]:
+    """All concrete strings one pinned op away from ``s`` with the op
+    score — the word-level analog of one D7 pattern round (substituted /
+    inserted chars range over WORDCHAR, insertion before i = 0..len-1,
+    no end-insertion)."""
+    out: set[tuple[str, float]] = set()
+    n = len(s)
+    for i in range(n):
+        prefix, suffix = s[:i], s[i + 1 :]
+        for c in WORDCHAR:
+            out.add((prefix + c + suffix, P_SUB))
+            out.add((prefix + c + s[i:], P_INS))
+        d = prefix + suffix
+        if d:
+            out.add((d, P_DEL))
+    return out
+
+
+def get_alternative_word(
+    word: str,
+    lexicon: frozenset[str] | set[str],
+    max_distance: int = 1,
+    words_for_generation: int = 15,
+) -> set[tuple[str, float]]:
     """correctionSentences.py:265-275 with the pinned decisions.
-    ``word`` arrives lowercased (caller mirrors :261)."""
+    ``word`` arrives lowercased (caller mirrors :261).
+
+    ``max_distance`` mirrors get_max_lev_distance: the pinned default is
+    1 (the code, correctionSentences.py:160-161); 2 (the report §4.4
+    configuration) is available behind the flag. Each extra round applies
+    one more op to the cumulative frontier with multiplied scores
+    (D7 applied to the pattern SET, :272), re-checks the loop guard
+    (≥ words_for_generation candidates stops expansion, :280-282), and
+    dedups on (word, score) pairs. Distance-1 results are identical to
+    the direct formulation in ``distance1_matches`` (tested)."""
     w_nopunct = remove_punctuation(word)
     candidates: set[tuple[str, float]] = {(word, 1.0), (w_nopunct, 1.0)}
-    for base in {word, w_nopunct}:
-        if base:
-            candidates |= distance1_matches(base, lexicon)
+    if max_distance <= 1:
+        for base in {word, w_nopunct}:
+            if base:
+                candidates |= distance1_matches(base, lexicon)
+        return candidates
+
+    frontier: set[tuple[str, float]] = {(b, 1.0) for b in {word, w_nopunct} if b}
+    distance = 0
+    while max_distance > distance and words_for_generation > len(candidates):
+        grown: set[tuple[str, float]] = set()
+        for s, sc in frontier:
+            for t, op_sc in one_op_strings(s):
+                grown.add((t, sc * op_sc))
+        frontier |= grown
+        candidates |= {(t, sc) for t, sc in frontier if t and t in lexicon}
+        distance += 1
     return candidates

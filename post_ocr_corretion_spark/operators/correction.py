@@ -209,6 +209,7 @@ def run_beam_udf(
     lexicon_bc,
     text_col: str = "extracted_text",
     enabled_col: str | None = None,
+    max_distance: int = 1,
 ) -> DataFrame:
     """Single-pass beam correction: one Arrow-batched mapInPandas stage
     runs the ENTIRE pinned beam loop per document (core/beam.py — the very
@@ -252,7 +253,7 @@ def run_beam_udf(
         def cand_fn(w: str) -> list:
             batch = cand_cache.get(w)
             if batch is None:
-                batch = candidate_batch(w, scorer, lexicon)
+                batch = candidate_batch(w, scorer, lexicon, max_distance)
                 cand_cache[w] = batch
             return batch
 
