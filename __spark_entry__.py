@@ -439,6 +439,18 @@ def q_u3_except_nations(spark, sf):
     return c.subtract(s)  # EXCEPT (distinct) semantics
 
 
+def q_u2_intersect_nations(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_w5_word_positions(spark, sf):
+    """W5 — posexplode of the word arrays (positional enumerate)."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "word"))
+
+
 def q_d6_split(spark, sf):
     d = _t(spark, sf, "documents")
     return (
@@ -685,6 +697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_limit_top50": q_s3_limit_top50,
         "u1_union_nations": q_u1_union_nations,
         "u3_except_nations": q_u3_except_nations,
+        "u2_intersect_nations": q_u2_intersect_nations,
+        "w5_word_positions": q_w5_word_positions,
         "d6_split": q_d6_split,
         "dedup_exact": q_dedup_exact,
         "embed_near_dup": q_embed_near_dup,
@@ -1049,6 +1063,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT
             SELECT s_nationkey FROM supplier
+        """,
+        "u2_intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "w5_word_positions": """
+            SELECT doc_id, pos, words[pos + 1] AS word
+            FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                         unnest(range(len(string_split(text, ' ')))) AS pos
+                  FROM documents WHERE doc_id < 50)
         """,
         "d6_split": """
             SELECT lang, CAST(doc_id % 10 < 7 AS INT) AS is_train, count(*) AS n
