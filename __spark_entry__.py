@@ -662,6 +662,51 @@ def q_m5_indel_ratio(spark, sf):
     return a.join(b, "da").select("da", F.round(indel_ratio_udf(F.col("ta"), F.col("tb")), 6).alias("ratio"))
 
 
+def q_approx_distinct(spark, sf):
+    """approx_count_distinct (HLL++) validated IN-QUERY against the exact
+    count at 5% relative tolerance — the emitted columns are deterministic
+    (exact count + the tolerance verdict), so the DuckDB oracle compares
+    exactly while the sketch accuracy is the thing being asserted."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        (F.abs(F.col("n_approx") - F.col("n_exact")) <= F.col("n_exact") * F.lit(0.05)).alias(
+            "within_tol"
+        ),
+    )
+
+
+def q_grouping_sets(spark, sf):
+    """GROUP BY GROUPING SETS beyond rollup/cube: an explicit set list
+    including the per-dimension marginals and the grand total."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+def q_flagship_roulette(spark, sf):
+    """Rows-only: the W2 seeded roulette-wheel mode (stochastic selection
+    is not SQL-expressible; draw-for-draw parity against the seeded
+    single-node oracle is pytest-gated in tests/test_roulette.py)."""
+    from post_ocr_corretion_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, sf, roulette_seed=13).select(
+        "url", "kind", "extracted_text", "corrected_text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p2_clean_text": q_p2_clean_text,
@@ -721,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wer": q_wer,
         "a14_word_diff": q_a14_word_diff,
         "a15_dataset_analysis": q_a15_dataset_analysis,
+        "approx_distinct": q_approx_distinct,
+        "grouping_sets_counts": q_grouping_sets,
+        "flagship_roulette": q_flagship_roulette,
     }
 
 
@@ -762,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT w.w, lex.lw FROM w LEFT JOIN lex ON w.w = lex.lw WHERE length(w.w) > 0
             )
             SELECT count(*) AS total_words,
-                   sum(CASE WHEN lw IS NULL THEN 1 ELSE 0 END) AS uncommon_words,
+                   CAST(sum(CASE WHEN lw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS uncommon_words,
                    round(sum(CASE WHEN lw IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS uncommon_ratio
             FROM f
         """,
@@ -1029,13 +1077,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "distinct_counts": """
             SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
                    count(DISTINCT l_suppkey) AS n_supps
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_distinct": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+                   TRUE AS within_tol
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouping_sets_counts": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
         """,
         "w1_topk_orders": """
             SELECT o_custkey, rnk, o_orderkey FROM (

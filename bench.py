@@ -45,23 +45,26 @@ def _run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_headline(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
+def run_headline(spark, sf_dir: str, repeats: int = 2) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Best-of-N per query: the sandbox host shows 2-3× wall-clock swings
     from neighbor contention (see BENCH/BASELINE.md); min-of-2 reports the
-    steady-state cost of the plan rather than the noisiest co-tenant."""
+    steady-state cost of the plan rather than the noisiest co-tenant.
+    The raw per-repeat times ride along in the JSON (``raw_times``) so the
+    noise filter is auditable from the artifact alone (ADVICE r1)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = None
+        rs = []
         for _ in range(repeats):
             t0 = time.time()
             _run_noop(qs[name](spark, sf_dir))
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        times[name] = round(best, 3)
-    return times
+            rs.append(round(time.time() - t0, 3))
+        raw[name] = rs
+        times[name] = min(rs)
+    return times, raw
 
 
 def flagship_stats(spark, sf_dir: str) -> tuple[int, int]:
@@ -92,7 +95,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     _run_noop(entrymod.queries()["flagship_correct"](spark, "/root/testdata/sf0.001"))
-    times = run_headline(spark, SF_DIR)
+    times, raw_times = run_headline(spark, SF_DIR)
     total = round(sum(times.values()), 3)
     n_docs, html_bytes = flagship_stats(spark, SF_DIR)
     flag = times["flagship_correct"]
@@ -107,6 +110,7 @@ def main() -> None:
         "flagship_gb_per_sec": round(html_bytes / 1e9 / flag, 4) if flag else None,
         "flagship_docs": n_docs,
         "flagship_html_gb": round(html_bytes / 1e9, 4),
+        "raw_times": raw_times,  # per-repeat walls; headline = min (disclosed)
     }
     spark.stop()
     print(json.dumps(out))

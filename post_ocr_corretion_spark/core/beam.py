@@ -58,17 +58,60 @@ def _prune(entries: list[_Entry], n: int, k: int) -> list[_Entry]:
     return sorted(entries, key=lambda b: (-(b.psum / n), b.text))[:k]
 
 
+def roulette_select(items: list, k: int, eval_fn, rng) -> list:
+    """The reference's RouletteWheel (correctionSentences.py:302-330),
+    faithfully: sort by value desc (stable — list order breaks ties),
+    then repeat k times: renormalize over the REMAINING sample, build the
+    cumulative distribution, draw ``rng.random()``, take the first element
+    whose cumulative value exceeds the draw, and remove it (weighted
+    sampling without replacement).  One pinned divergence: when the draw
+    lands beyond the last cumulative value (float rounding at r→1), the
+    reference's _roulette_spin returns None and crashes on
+    ``sample.remove``; we take the last element instead."""
+    sample = sorted(items, key=eval_fn, reverse=True)
+    out: list = []
+    while len(out) < k and sample:
+        vals = [eval_fn(e) for e in sample]
+        total = sum(vals)
+        r = rng.random()
+        cum = 0.0
+        pick = None
+        for v, e in zip(vals, sample):
+            cum += v / total
+            if cum > r:
+                pick = e
+                break
+        if pick is None:
+            pick = sample[-1]
+        out.append(pick)
+        sample.remove(pick)
+    return out
+
+
+def roulette_rng(seed: int, text: str):
+    """Per-document rng for the seeded roulette mode: deterministic in
+    (seed, original text), independent of partitioning/batching — both the
+    Spark UDF and the single-node oracle derive the identical stream."""
+    import random
+    import zlib
+
+    return random.Random((seed << 32) ^ zlib.crc32(text.encode("utf-8")))
+
+
 def candidate_batch(
     err_word: str,
     scorer: NGramScorer,
     lexicon: frozenset[str] | set[str],
     max_distance: int = 1,
+    delidx: dict | None = None,
 ) -> list[tuple[str, float, float]]:
     """The pinned, ordered candidate batch for one error word (original
     case, as it appears in the sentence): sorted (word, score) pairs from
     ``get_alternative_word(err_word.lower())``, each with its own word
-    prob, then +punct variants in the same order."""
-    base = sorted(get_alternative_word(err_word.lower(), lexicon, max_distance))
+    prob, then +punct variants in the same order.  ``delidx`` (optional,
+    from candidates.build_deletion_index) swaps the membership-probe
+    candidate search for index lookups — identical results, tested."""
+    base = sorted(get_alternative_word(err_word.lower(), lexicon, max_distance, delidx=delidx))
     batch = [(w, s, scorer.word_prob(w)) for w, s in base]
     punct = add_last_punctuation(err_word)
     if punct:
@@ -84,12 +127,20 @@ def correct_sentence(
     prob_fn=None,
     cand_fn=None,
     max_distance: int = 1,
+    rng=None,
 ) -> list[str]:
     """Returns the corrected word list for one document.
 
     ``prob_fn``/``cand_fn`` optionally override the per-word prob and
     candidate-batch lookups (the Spark UDF path injects memoized versions
-    — executor-local dedup of the distinct-error-word work)."""
+    — executor-local dedup of the distinct-error-word work).
+
+    ``rng`` flips W2 from the pinned deterministic top-k to the
+    reference's EXACT seeded roulette-wheel selection
+    (correctionSentences.py:288-291,230-233,293-294): beam pruning and
+    per-batch candidate selection become weighted draws without
+    replacement, and the final answer is max-by-score with FIRST-in-list
+    tie-break (the reference's ``max``), not text-asc."""
     prob_fn = prob_fn or scorer.word_prob
     cand_fn = cand_fn or (lambda w: candidate_batch(w, scorer, lexicon, max_distance))
     words = sentence_words(text)
@@ -108,7 +159,10 @@ def correct_sentence(
         w_total = 0.0
         for _, s, _ in batch:
             w_total += s
-        pruned = _prune(beams, n, beam_width)
+        if rng is not None:
+            pruned = roulette_select(beams, beam_width, lambda b: b.psum / n, rng)
+        else:
+            pruned = _prune(beams, n, beam_width)
         # Within one batch every candidate sentence shares the prefix and
         # suffix around idx, so full-text tie-break order equals comparing
         # cand_word + joiner (words contain no chars ≤ ' ', guaranteed by
@@ -125,8 +179,14 @@ def correct_sentence(
                 (-(cs / w_total + (ps / n) / s_total), cw + sep, cw, cp, ps)
                 for (cw, cs, cp), ps in zip(batch, psums)
             ]
-            scored.sort(key=lambda t: (t[0], t[1]))
-            for _, _, cw, cp, ps in scored[:beam_width]:
+            if rng is not None:
+                # reference selected_sentences (:230-233): roulette over the
+                # candidate batch, weighted by the total score
+                top = roulette_select(scored, beam_width, lambda t: -t[0], rng)
+            else:
+                scored.sort(key=lambda t: (t[0], t[1]))
+                top = scored[:beam_width]
+            for _, _, cw, cp, ps in top:
                 new_beams.append(
                     _Entry(
                         b.words[:idx] + [cw] + b.words[idx + 1 :],
@@ -135,4 +195,8 @@ def correct_sentence(
                     )
                 )
         beams = new_beams
+    if rng is not None:
+        # reference get_best_sentence (:293-294): max by score, ties go to
+        # the FIRST in list order
+        return max(beams, key=lambda b: b.psum / n).words
     return _prune(beams, n, 1)[0].words

@@ -57,6 +57,11 @@ class NGramScorer:
     agrees with the exact set)."""
 
     def __init__(self, lexicon: frozenset[str] | set[str], membership=None, counts: np.ndarray | None = None):
+        if membership is not None and counts is None:
+            # a membership-only construction would silently fit the bigram
+            # model on the (usually empty) ``lexicon`` argument, producing a
+            # near-uniform LM — refuse the degenerate path loudly
+            raise ValueError("membership injection requires an explicit counts matrix (operators/scorer_fit.py)")
         self.lexicon = membership if membership is not None else frozenset(lexicon)
         if counts is None:
             counts = np.ones((V, V), dtype=np.float64)  # add-one smoothing

@@ -59,8 +59,11 @@ def bucket_key(col: Column) -> Column:
 
 def sentence_words(col: Column) -> Column:
     """Python str.split() semantics (correctionSentences.py:257): split on
-    whitespace runs, no empty tokens."""
-    return F.split(F.trim(col), r"\s+")
+    whitespace runs, no empty tokens. Filtering empties (rather than
+    F.trim, which strips only 0x20) matches str.split() for leading or
+    trailing tabs/newlines too (ADVICE r1), and makes whitespace-only
+    text yield [] exactly."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != F.lit(""))
 
 
 def words_on_space(col: Column) -> Column:

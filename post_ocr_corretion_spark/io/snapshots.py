@@ -55,6 +55,22 @@ class SnapshotWriter:
         with open(os.path.join(self.base, "_snapshots", f"{snapshot_id}.json")) as f:
             return json.load(f)
 
+    def _claim_sid(self) -> int:
+        """Allocate the next snapshot id via an O_CREAT|O_EXCL claim file —
+        two concurrent writers on one base dir can never pick the same sid
+        and silently cross-commit (ADVICE r1); the loser just advances. A
+        claim whose writer crashed pre-commit burns its id (append-only,
+        ids need not be dense). Claims are dotfiles, invisible to
+        ``committed_snapshots``."""
+        sid = (self.latest() or 0) + 1
+        while True:
+            claim = os.path.join(self.base, "_snapshots", f".{sid}.claim")
+            try:
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return sid
+            except FileExistsError:
+                sid += 1
+
     # ---- write path ------------------------------------------------------
     def write(
         self,
@@ -65,7 +81,7 @@ class SnapshotWriter:
     ) -> int:
         """``counters_fn`` is evaluated AFTER the data write (use it to
         read ``Observation.get``, which only resolves post-action)."""
-        sid = (self.latest() or 0) + 1
+        sid = self._claim_sid()
         data_path = os.path.join(self.base, "data", f"snapshot={sid}")
         df.write.mode("overwrite").parquet(data_path)
         if counters_fn is not None:

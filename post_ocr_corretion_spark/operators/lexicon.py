@@ -48,18 +48,25 @@ def corpus_word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFram
 
 
 def build_lexicon(
-    spark: SparkSession, docs: DataFrame, base_words: tuple[str, ...] = (), text_col: str = "text"
+    spark: SparkSession,
+    docs: DataFrame,
+    base_words: tuple[str, ...] = (),
+    text_col: str = "text",
+    bucketed: bool = True,
 ) -> DataFrame:
     """U1 (correctionSentences.py:44): shipped word list ∪ corpus words,
-    with the A3 bucket column. Columns: word, bucket."""
+    with the A3 bucket column. Columns: word, bucket.  ``bucketed=False``
+    skips the bucket repartition shuffle — the layout only pays off for
+    the Catalyst candidate equi-joins; the UDF-mode pipeline just writes
+    the word column to the scorer sidecar."""
     base = spark.createDataFrame([(w,) for w in sorted(set(base_words))], "word string")
-    return (
+    out = (
         corpus_words(docs, text_col)
         .union(base)
         .distinct()
         .withColumn("bucket", bucket_key(F.col("word")))
-        .repartition("bucket")
     )
+    return out.repartition("bucket") if bucketed else out
 
 
 def write_lexicon_partitioned(lexicon: DataFrame, path: str) -> None:

@@ -78,13 +78,128 @@ def distributed_bloom_positions(lexicon: DataFrame, m_bits: int, k: int) -> Data
     return lexicon.select(F.explode(hashes).alias("pos")).distinct()
 
 
+_SIDECAR_CACHE: dict[str, frozenset] = {}
+
+
+class SidecarLexicon:
+    """Set-like lexicon proxy backed by a parquet sidecar directory.
+
+    The word set is written DISTRIBUTIVELY (df.write.parquet) and loaded
+    lazily on first membership test — once per Python worker, never on the
+    driver.  Pickles as just the path, so broadcasting it ships a few
+    bytes; on a real cluster the sidecar lives on shared storage (HDFS/S3)
+    and each executor reads it locally, the same "distributed cache"
+    pattern Hive uses for map-side dictionaries.  Membership is EXACT
+    (byte-parity-safe), unlike the Bloom variant below.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> frozenset:
+        ws = _SIDECAR_CACHE.get(self.path)
+        if ws is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if not files:
+                raise FileNotFoundError(f"no parquet parts under lexicon sidecar {self.path}")
+            ws = frozenset(
+                w for f in files for w in pq.read_table(f, columns=["word"]).column("word").to_pylist()
+            )
+            _SIDECAR_CACHE[self.path] = ws
+        return ws
+
+    def __contains__(self, word: str) -> bool:
+        return word in self._load()
+
+    def __iter__(self):
+        return iter(self._load())
+
+    def __len__(self) -> int:
+        return len(self._load())
+
+    def __reduce__(self):
+        return (SidecarLexicon, (self.path,))
+
+
+_SIDECAR_SCORER_CACHE: dict[str, NGramScorer] = {}
+
+
+class SidecarScorer:
+    """Picklable lazy NGramScorer: each Python worker builds the scorer
+    ONCE from the parquet sidecar word set — the driver never materializes
+    the lexicon or the fit.  Bit-identical to the driver fit everywhere:
+    the bigram counts are integer sums (exact in float64 regardless of
+    iteration order), so every worker derives the same matrix.  Per-worker
+    fit cost is O(vocab); at 10^8+ vocabularies use ``scorer_from_spark``
+    (Spark-aggregated counts + Bloom membership) instead."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _scorer(self) -> NGramScorer:
+        s = _SIDECAR_SCORER_CACHE.get(self.path)
+        if s is None:
+            s = NGramScorer(SidecarLexicon(self.path)._load())
+            _SIDECAR_SCORER_CACHE[self.path] = s
+        return s
+
+    def word_prob(self, word: str) -> float:
+        return self._scorer().word_prob(word)
+
+    def word_probs(self, words) -> list[float]:
+        return self._scorer().word_probs(words)
+
+    def sentence_score(self, words) -> float:
+        return self._scorer().sentence_score(words)
+
+    def wrong_indexes(self, words):
+        return self._scorer().wrong_indexes(words)
+
+    def __reduce__(self):
+        return (SidecarScorer, (self.path,))
+
+
+def write_lexicon_sidecar(
+    lexicon: DataFrame, path: str | None = None, partitions: int | None = 8
+) -> SidecarLexicon:
+    """Distributed write of the (word) column to a parquet sidecar; returns
+    the lazy proxy. ``path`` defaults to a fresh local temp dir (in this
+    sandbox all workers share the FS; on a cluster pass a dfs:// path).
+    ``partitions`` bounds the file count (readers glob every part; a
+    vocabulary is tiny per-row) — pass None to keep the input layout for
+    genuinely huge vocabularies."""
+    if path is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="lexicon_sidecar_")
+    out = lexicon.select("word")
+    if partitions is not None:
+        out = out.coalesce(partitions)
+    out.write.mode("overwrite").parquet(path)
+    return SidecarLexicon(path)
+
+
 def scorer_from_spark(
-    spark: SparkSession, lexicon: DataFrame, use_bloom: bool = False, fpp: float = 0.001
+    spark: SparkSession,
+    lexicon: DataFrame,
+    use_bloom: bool = False,
+    fpp: float = 0.001,
+    sidecar_path: str | None = None,
 ) -> NGramScorer:
+    """Fully distributed scorer construction: bigram counts via a Spark
+    aggregation (bit-identical to the local fit, tested) and membership via
+    either the exact parquet sidecar (default — zero driver-side lexicon
+    materialization, byte-parity-safe) or a Bloom filter (``use_bloom`` —
+    documented fpp trade, see core/bloom.py)."""
     counts = counts_matrix(bigram_counts(lexicon))
     if not use_bloom:
-        words = frozenset(r.word for r in lexicon.select("word").collect())
-        return NGramScorer(words, counts=counts)
+        side = write_lexicon_sidecar(lexicon, sidecar_path)
+        return NGramScorer(frozenset(), membership=side, counts=counts)
     n = lexicon.count()
     import math
 

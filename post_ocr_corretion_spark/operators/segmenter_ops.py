@@ -21,9 +21,59 @@ from .lexicon import corpus_word_frequencies
 from .segmentation import prepare_sequences
 
 
-def build_segmenter_broadcast(spark: SparkSession, docs: DataFrame):
-    counts = {r.word: r.freq for r in corpus_word_frequencies(docs).collect()}
-    return spark.sparkContext.broadcast(ViterbiSegmenter(counts))
+_SEG_CACHE: dict[str, ViterbiSegmenter] = {}
+
+
+class SidecarSegmenter:
+    """Lazy Viterbi segmenter backed by a parquet (word, freq) sidecar —
+    same zero-driver-materialization pattern as scorer_fit.SidecarLexicon:
+    the frequency table is written distributively and each Python worker
+    builds the cost table once, locally.  Pickles as just the path.
+    Deterministic: costs depend only on per-word counts and exact integer
+    totals, never on load order."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _seg(self) -> ViterbiSegmenter:
+        seg = _SEG_CACHE.get(self.path)
+        if seg is None:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            counts: dict[str, int] = {}
+            for f in sorted(glob.glob(os.path.join(self.path, "*.parquet"))):
+                t = pq.read_table(f, columns=["word", "freq"])
+                for w, c in zip(t.column("word").to_pylist(), t.column("freq").to_pylist()):
+                    counts[w] = c
+            seg = ViterbiSegmenter(counts)
+            _SEG_CACHE[self.path] = seg
+        return seg
+
+    def segment(self, text: str) -> list[str]:
+        return self._seg().segment(text)
+
+    def segment_text(self, text: str) -> str:
+        return self._seg().segment_text(text)
+
+    def __reduce__(self):
+        return (SidecarSegmenter, (self.path,))
+
+
+def build_segmenter_broadcast(spark: SparkSession, docs: DataFrame, fit: str = "distributed"):
+    """``fit='distributed'`` (default): the unigram table rides a parquet
+    sidecar, loaded lazily per worker — the driver never materializes the
+    vocabulary. ``fit='driver'``: the round-1 collect() path."""
+    if fit == "driver":
+        counts = {r.word: r.freq for r in corpus_word_frequencies(docs).collect()}
+        return spark.sparkContext.broadcast(ViterbiSegmenter(counts))
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="segmenter_sidecar_")
+    corpus_word_frequencies(docs).write.mode("overwrite").parquet(path)
+    return spark.sparkContext.broadcast(SidecarSegmenter(path))
 
 
 def make_segment_udf(segmenter_bc):

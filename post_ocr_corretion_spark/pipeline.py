@@ -17,12 +17,14 @@ SURVEY.md §3.1) re-expressed over the north-rule web table:
 Non-``en`` pages and stubbed real-PDF pages pass through deterministically
 (corrected = extracted words; FIXTURES.md F2).
 
-Scale notes (SURVEY.md §4): the scorer is built from the lexicon on the
-driver and broadcast once — at 10^12-doc scale the bigram counts would be
-aggregated distributively (groupBy over char pairs) and membership would
-be a Bloom filter; both keep the same pinned scoring interface. Candidate
-generation runs on DISTINCT error words (vocabulary-bounded), never per
-occurrence.
+Scale notes (SURVEY.md §4): by default (``fit='distributed'``) the bigram
+counts are aggregated distributively (groupBy over char pairs, bit-identical
+to the local fit) and membership rides a parquet sidecar loaded lazily per
+Python worker — the driver never materializes the word list. ``fit='driver'``
+keeps the round-1 collect() path for equality testing; ``use_bloom`` in
+operators/scorer_fit.py is the further 10^9-vocabulary option (documented
+fpp trade). Candidate generation runs on DISTINCT error words
+(vocabulary-bounded), never per occurrence.
 """
 from __future__ import annotations
 
@@ -39,10 +41,36 @@ from .operators.lexicon import build_lexicon, deletion_neighborhood
 from .sources.webpages import read_documents, webpages
 
 
-def build_scorer_broadcast(spark: SparkSession, lexicon_df: DataFrame):
-    """Collect the lexicon and broadcast one NGramScorer per executor."""
-    words = frozenset(r.word for r in lexicon_df.select("word").collect())
-    return spark.sparkContext.broadcast(NGramScorer(words)), words
+def build_scorer_broadcast(spark: SparkSession, lexicon_df: DataFrame, fit: str = "distributed"):
+    """Broadcast one scorer per executor plus the set-like lexicon.
+
+    ``fit='distributed'`` (default): the lexicon is written distributively
+    to a parquet sidecar; each Python worker lazily builds the scorer from
+    it ONCE (SidecarScorer — integer-count fits are order-independent, so
+    every worker derives identical bits) and membership is the exact
+    SidecarLexicon. The driver never materializes the word list, so a
+    10^9-word vocabulary cannot OOM it.  ``fit='spark-agg'``: bigram
+    counts via a Spark aggregation instead of per-worker fits (the 10^8+
+    vocabulary path).  ``fit='driver'``: the round-1 collect() path, kept
+    for the equality tests."""
+    if fit == "driver":
+        words = frozenset(r.word for r in lexicon_df.select("word").collect())
+        return spark.sparkContext.broadcast(NGramScorer(words)), words
+    if fit == "spark-agg":
+        # Spark-aggregated bigram counts (bit-identical to the local fit,
+        # tested) + sidecar membership — the 10^8+-vocabulary path; costs
+        # two extra Spark jobs per run, so the default below amortizes the
+        # fit per worker instead (same zero-driver-materialization
+        # property, same bits).
+        from .operators.scorer_fit import bigram_counts, counts_matrix, write_lexicon_sidecar
+
+        counts = counts_matrix(bigram_counts(lexicon_df))  # bounded by V², a model artifact
+        side = write_lexicon_sidecar(lexicon_df)
+        return spark.sparkContext.broadcast(NGramScorer(frozenset(), membership=side, counts=counts)), side
+    from .operators.scorer_fit import SidecarScorer, write_lexicon_sidecar
+
+    side = write_lexicon_sidecar(lexicon_df)
+    return spark.sparkContext.broadcast(SidecarScorer(side.path)), side
 
 
 def run_pipeline(
@@ -50,12 +78,18 @@ def run_pipeline(
     sf_dir: str,
     max_rounds: int | None = None,
     mode: str = "udf",
+    fit: str = "distributed",
+    max_distance: int = 1,
+    roulette_seed: int | None = None,
 ) -> DataFrame:
     """``mode='udf'`` (default): single-pass Arrow-batched beam — the
     throughput path, zero shuffles after extraction.  ``mode='catalyst'``:
     the no-Python lockstep loop over SymSpell equi-join candidate batches.
     Both are byte-identical to the oracle (tests assert it)."""
-    return run_pipeline_from_docs(spark, read_documents(spark, sf_dir), max_rounds, mode)
+    return run_pipeline_from_docs(
+        spark, read_documents(spark, sf_dir), max_rounds, mode, fit=fit,
+        max_distance=max_distance, roulette_seed=roulette_seed,
+    )
 
 
 def run_pipeline_from_docs(
@@ -64,8 +98,14 @@ def run_pipeline_from_docs(
     max_rounds: int | None = None,
     mode: str = "udf",
     partitions: int | None = None,
+    fit: str = "distributed",
+    max_distance: int = 1,
+    roulette_seed: int | None = None,
 ) -> DataFrame:
     from .session import ensure_package_shipped
+
+    if roulette_seed is not None and mode != "udf":
+        raise ValueError("the seeded roulette W2 mode (correctionSentences.py:302-330) is UDF-mode only")
 
     ensure_package_shipped(spark)
     # A single parquet file arrives as one input split; spread the per-doc
@@ -75,8 +115,8 @@ def run_pipeline_from_docs(
     par = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
     docs = docs.repartition(par, F.xxhash64("doc_id"))
 
-    lexicon_df = build_lexicon(spark, docs, COMMON_WORDS).cache()
-    scorer_bc, lex_words = build_scorer_broadcast(spark, lexicon_df)
+    lexicon_df = build_lexicon(spark, docs, COMMON_WORDS, bucketed=(mode == "catalyst")).cache()
+    scorer_bc, lex_words = build_scorer_broadcast(spark, lexicon_df, fit=fit)
     enabled = (F.col("lang") == "en") & (F.col("kind") != "pdf_stub")
 
     if mode == "udf":
@@ -89,22 +129,21 @@ def run_pipeline_from_docs(
             scorer_bc,
             lexicon_bc,
             enabled_col="correct_enabled",
+            max_distance=max_distance,
+            roulette_seed=roulette_seed,
         )
     else:
         extracted = extract(webpages(docs)).localCheckpoint(eager=True)  # materialize once for both branches
         correctable = extracted.filter(enabled)
+        from .functions.text import sentence_words
+
         passthrough = extracted.filter(~enabled).withColumn(
-            "corrected_words", F.split(F.trim("extracted_text"), r"\s+")
-        ).withColumn(
-            "corrected_words",
-            F.when(F.trim("extracted_text") == "", F.array().cast("array<string>")).otherwise(
-                F.col("corrected_words")
-            ),
+            "corrected_words", sentence_words(F.col("extracted_text"))
         )
         lex_del = deletion_neighborhood(lexicon_df)
         detected = with_detection(correctable, scorer_bc)
         err_words = distinct_error_words(detected)
-        cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc).cache()
+        cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc, max_distance=max_distance).cache()
         cand_agg.count()  # materialize before the loop
         corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
             "words", "probs", "psum", "n", "errors"

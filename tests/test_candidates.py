@@ -84,3 +84,50 @@ def test_candidate_batch_order(fixture_lexicon, fixture_scorer):
     # punct variants mirror the base order with '.' appended
     suffix = batch[n_base:]
     assert [(w, s) for w, s, _ in suffix] == [(w + ".", s) for w, s, _ in batch[:n_base]]
+
+
+def test_catalyst_variant_order_matches_core(spark, fixture_scorer):
+    """ADVICE r1 regression: when one candidate word is a strict prefix of
+    another and the trailing punct sorts below the next base char (';' vs
+    '5'), variant order must follow the sorted BASE batch, not the
+    concatenated variant string."""
+    from post_ocr_corretion_spark.core.beam import candidate_batch
+    from post_ocr_corretion_spark.operators.candidates import candidate_batches
+    from post_ocr_corretion_spark.operators.lexicon import deletion_neighborhood
+
+    lexicon = frozenset({"wrd", "wrd5"})
+    lex_df = spark.createDataFrame([(w,) for w in sorted(lexicon)], "word string")
+    lex_del = deletion_neighborhood(lex_df)
+    err = "wrd0;"
+    err_df = spark.createDataFrame([(err,)], "err_word string")
+    scorer_bc = spark.sparkContext.broadcast(fixture_scorer)
+    rows = candidate_batches(err_df, lex_df, lex_del, scorer_bc).collect()
+    assert len(rows) == 1
+    got = [(c.word, c.score, c.p) for c in rows[0].cands]
+    want = candidate_batch(err, fixture_scorer, lexicon)
+    assert got == want
+    # the pinned left-fold normalizer must agree too
+    w_total = 0.0
+    for _, s, _ in want:
+        w_total += s
+    assert rows[0].w_total == w_total
+
+
+def test_indexed_matches_equal_direct(fixture_lexicon):
+    """The SymSpell deletion index produces byte-identical candidate sets
+    to the direct membership-probe formulation, for every error word and
+    through get_alternative_word."""
+    from post_ocr_corretion_spark.core.candidates import (
+        build_deletion_index,
+        distance1_matches_indexed,
+    )
+
+    idx = build_deletion_index(fixture_lexicon)
+    probes = [w.lower() for w in ERR_WORDS] + list(sorted(fixture_lexicon))[:100]
+    for w in probes:
+        assert distance1_matches_indexed(w, fixture_lexicon, idx) == distance1_matches(
+            w, fixture_lexicon
+        ), w
+        assert get_alternative_word(w, fixture_lexicon, delidx=idx) == get_alternative_word(
+            w, fixture_lexicon
+        ), w

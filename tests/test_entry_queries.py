@@ -57,6 +57,12 @@ def test_query_matches_oracle(spark, name):
         sorted(sdf.columns),
         sorted(odf.columns),
     )
+    # Strict dtype-kind parity: the driver's value hash is serialization-
+    # sensitive (round-1 json_props failed on DuckDB HUGEINT vs Spark BIGINT
+    # despite equal values), so mismatched kinds locally = red flag.
+    for col in sdf.columns:
+        sk, ok = sdf[col].dtype.kind, odf[col].dtype.kind
+        assert sk == ok, (name, col, sdf[col].dtype, odf[col].dtype)
     got, want = _canon(sdf), _canon(odf)
     assert len(got) == len(want), (name, len(got), len(want))
     mism = [(g, w) for g, w in zip(got, want) if g != w]

@@ -23,6 +23,32 @@ def test_distributed_counts_bit_identical(spark, fixture_lexicon):
         assert dist.word_prob(w) == local.word_prob(w)
 
 
+def test_sidecar_lexicon_exact_and_picklable(spark, fixture_lexicon):
+    """The parquet-sidecar membership proxy: exact set semantics, loads
+    lazily from the distributed write, and pickles as just the path (what
+    a broadcast ships to executors)."""
+    import pickle
+
+    from post_ocr_corretion_spark.operators.scorer_fit import write_lexicon_sidecar
+
+    side = write_lexicon_sidecar(_lex_df(spark, fixture_lexicon))
+    clone = pickle.loads(pickle.dumps(side))
+    assert len(pickle.dumps(side)) < 500  # ships the path, not the words
+    assert set(clone) == set(fixture_lexicon)
+    assert len(clone) == len(set(fixture_lexicon))
+    some = next(iter(fixture_lexicon))
+    assert some in clone and "zzz-not-a-word" not in clone
+
+
+def test_membership_without_counts_refused():
+    """ADVICE r1: membership injection with counts=None would silently fit
+    a near-uniform model on the empty lexicon arg — must raise."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        NGramScorer(frozenset(), membership=frozenset({"the"}))
+
+
 def test_bloom_no_false_negatives_and_deterministic(fixture_lexicon):
     bf = BloomFilter.from_words(fixture_lexicon, fpp=0.001)
     assert all(w in bf for w in fixture_lexicon)

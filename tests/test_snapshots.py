@@ -61,3 +61,17 @@ def test_manifest_contents(spark, tmp_path):
     sid = w.write(spark.range(42).withColumnRenamed("id", "k"), key_col="k")
     m = json.load(open(os.path.join(base, "_snapshots", f"{sid}.json")))
     assert m["rows"] == 42 and m["snapshot_id"] == sid
+
+
+def test_concurrent_sid_claims_never_collide(tmp_path):
+    """ADVICE r1: two writers on one base dir must get distinct sids even
+    before either commits (O_EXCL claim), and a crashed claim burns its id."""
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+    w1 = SnapshotWriter(str(tmp_path))
+    w2 = SnapshotWriter(str(tmp_path))
+    s1 = w1._claim_sid()
+    s2 = w2._claim_sid()  # claimed while s1 is still uncommitted
+    assert s1 != s2
+    # a third writer skips both outstanding claims
+    assert SnapshotWriter(str(tmp_path))._claim_sid() not in (s1, s2)

@@ -40,3 +40,57 @@ def test_cross_batch_dedup(spark, tmp_path):
     out2 = [r.url for r in spark.read.parquet(sink).collect()]
     assert len(out2) == 70  # 50 + 20, no re-emissions
     assert {u for (u,) in batch2[30:]} <= set(out2)
+
+
+TS_SCHEMA = "url string, ts long"
+
+
+def _drain_ttl(spark, src_dir: str, ckpt: str, sink: str, ttl: int):
+    q = (
+        first_seen_urls(spark.readStream.schema(TS_SCHEMA).parquet(src_dir), ttl_seconds=ttl)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_ttl_evicts_and_still_dedups_within_window(spark, tmp_path):
+    """VERDICT r1 item 6: state entries older than the ttl window are
+    evicted (a late re-delivery re-emits), while re-deliveries INSIDE the
+    window stay suppressed — so state is bounded on unbounded url feeds."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    TTL = 100
+
+    urls = [f"https://h{i % 3}.example.com/p{i}" for i in range(40)]
+    b1 = [(u, 1000) for u in urls]
+    spark.createDataFrame(b1, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _drain_ttl(spark, src, ckpt, sink, TTL)
+    assert spark.read.parquet(sink).count() == 40
+
+    # batch 2 (ts=1050, inside the window): all repeats suppressed,
+    # and the repeats REFRESH their entries to ts=1050
+    b2 = [(u, 1050) for u in urls[:30]] + [(f"https://new.example.com/a{i}", 1050) for i in range(5)]
+    spark.createDataFrame(b2, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _drain_ttl(spark, src, ckpt, sink, TTL)
+    assert spark.read.parquet(sink).count() == 45
+
+    # batch 3 (ts=1200): horizon = 1100 → the 10 urls last seen at 1000
+    # are evicted and re-emit; the 30 refreshed at 1050... 1050 < 1100,
+    # also evicted → re-emit. The 5 new.example urls from ts=1050 also
+    # expired. Re-deliver everything: all 45 re-emit exactly once.
+    b3 = [(u, 1200) for u in urls] + [(f"https://new.example.com/a{i}", 1200) for i in range(5)]
+    spark.createDataFrame(b3, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _drain_ttl(spark, src, ckpt, sink, TTL)
+    assert spark.read.parquet(sink).count() == 90
+
+    # batch 4 (ts=1210, inside the new window): full re-delivery suppressed
+    b4 = [(u, 1210) for u in urls]
+    spark.createDataFrame(b4, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _drain_ttl(spark, src, ckpt, sink, TTL)
+    assert spark.read.parquet(sink).count() == 90

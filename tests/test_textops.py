@@ -60,7 +60,12 @@ def test_bucket_key_parity(spark):
 
 
 def test_sentence_words_matches_python_split(spark):
-    texts = ["a b  c", "  leading", "trailing  ", "one", "a\nb\tc", "x  y\n\nz"]
+    # ADVICE r1 cases: leading/trailing tab/newline and whitespace-only
+    # text must match str.split() exactly (trim strips only 0x20)
+    texts = [
+        "a b  c", "  leading", "trailing  ", "one", "a\nb\tc", "x  y\n\nz",
+        "\tlead-tab", "\nlead-nl", "trail-tab\t", "", " ", "\t", "\n\t ", "\t x \n",
+    ]
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r.out for r in df.select(ft.sentence_words(F.col("t")).alias("out")).collect()]
     assert got == [t.split() for t in texts]
