@@ -707,6 +707,55 @@ def q_flagship_roulette(spark, sf):
     )
 
 
+def q_w_rows_frame(spark, sf):
+    """ROWS-frame window (moving average over the 3 most recent events
+    per user) — the frame variant rollup/cube/RANGE coverage lacked."""
+    e = _t(spark, sf, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+def q_approx_quantile(spark, sf):
+    """percentile_approx validated IN-QUERY against the exact percentile
+    at tolerance (same pattern as approx_distinct): emitted columns are
+    the exact p50 and the tolerance verdict, both deterministic."""
+    e = _t(spark, sf, "events")
+    g = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5D, 1000)").alias("approx_p50"),
+    )
+    tol = F.abs(F.col("exact_p50")) * F.lit(0.05) + F.lit(1e-9)
+    return g.select(
+        "event_type",
+        F.round("exact_p50", 6).alias("p50"),
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= tol).alias("within_tol"),
+    )
+
+
+def q_skew_salted_counts(spark, sf):
+    """Skew-safe two-phase aggregation (operators/skew.py): the synthetic
+    url space is Zipf-like (h0 owns half the pages); the hot host is
+    salted over 16 reducers in the partial aggregate and recombined —
+    counts must equal the plain group-by (the DuckDB oracle)."""
+    from post_ocr_corretion_spark.operators.skew import two_phase_count_by_host
+
+    d = _t(spark, sf, "documents")
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("h0.example.com")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 31 + 1).cast("string"), F.lit(".example.com"))
+    )
+    suffix = F.when(F.col("doc_id") % 16 == 7, F.lit(".pdf")).otherwise(F.lit(".html"))
+    pages = d.select(
+        F.concat(F.lit("https://"), host, F.lit("/crawl/p"), F.col("doc_id").cast("string"), suffix).alias("url")
+    )
+    return two_phase_count_by_host(pages, hot_hosts=["h0.example.com"])
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -785,6 +834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_counts": q_grouping_sets,
         "flagship_roulette": q_flagship_roulette,
         "multimodal_features": q_multimodal_features,
+        "w_rows_frame": q_w_rows_frame,
+        "approx_quantile": q_approx_quantile,
+        "skew_salted_counts": q_skew_salted_counts,
     }
 
 
@@ -1106,6 +1158,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
                    TRUE AS within_tol
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "w_rows_frame": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+            FROM events
+        """,
+        "approx_quantile": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   TRUE AS within_tol
+            FROM events GROUP BY event_type
+        """,
+        "skew_salted_counts": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'h0.example.com'
+                        ELSE 'h' || CAST(doc_id % 31 + 1 AS VARCHAR) || '.example.com' END AS host,
+                   CAST(count(*) AS BIGINT) AS n_pages
+            FROM documents GROUP BY 1
         """,
         "grouping_sets_counts": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,

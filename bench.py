@@ -242,12 +242,14 @@ JIT + Python worker pool), matching a long-running cluster job.
 
 **Primary N→4N pair (2 → 8 cores): {out['value']}** (target ≥ 0.8).
 
-The 8 → 32 pair degrades on this host: per-core throughput of the
-Python-heavy stages drops ~40% when all 32 vCPUs are busy, and `top`
-shows 3–13% hypervisor steal — a shared-host memory-bandwidth/contention
-artifact, not a property of the job (per-stage probes show the same
-per-core falloff for a pure embarrassingly-parallel map with no shuffle
-and no shared state). On a real multi-executor cluster each executor owns
+The 8 → 32 pair ({out['pairs'].get('8->32', 'n/a')}) degrades on this
+host: per-core throughput of the Python-heavy stages falls when all 32
+vCPUs are busy, and `top` shows 3–13% hypervisor steal — a shared-host
+memory-bandwidth/contention artifact, not a property of the job
+(per-stage probes in round 1 showed the same per-core falloff for a pure
+embarrassingly-parallel map with no shuffle and no shared state; round
+2's once-per-worker candidate/prob caches lifted the pair from ~0.41 to
+the current value). On a real multi-executor cluster each executor owns
 its cores; the 2→8 pair is the faithful analog of adding executors.
 
 Reproduce: `python bench.py --scaling` (env: SPARK_GRAFT_SF_DIR,
