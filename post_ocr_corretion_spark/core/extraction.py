@@ -62,10 +62,13 @@ class _BlockExtractor(HTMLParser):
         raw = "".join(c for c, _ in self._chunks)
         norm = " ".join(raw.split())
         total = len(raw)
-        if len(norm) >= MIN_BLOCK_CHARS and (total == 0 or self._link_chars / total <= MAX_LINK_DENSITY):
-            start = self._chunks[0][1]
-            end = self._chunks[-1][1] + len(self._chunks[-1][0])
-            self.blocks.append((norm, start, end))
+        start = self._chunks[0][1]
+        end = self._chunks[-1][1] + len(self._chunks[-1][0])
+        # every non-empty block is recorded with its raw stats; the KEEP
+        # decision happens in extract_html so the pinned filter and the
+        # justext-mode classifier share one block stream
+        if norm:
+            self.blocks.append((norm, start, end, total, self._link_chars))
         self._chunks = []
         self._link_chars = 0
 
@@ -93,14 +96,65 @@ class _BlockExtractor(HTMLParser):
             self._link_chars += len(data)
 
 
-def extract_html(html_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
+STOPWORDS = frozenset(
+    "the of and a to in is was it for on as with that by at this be are or "
+    "an from not but had has have he she they we you his her its their".split()
+)
+LOW_STOP_DENSITY = 0.10
+HIGH_STOP_DENSITY = 0.30
+
+
+def _classify_justext(blocks) -> list[str]:
+    """jusText-style block classes (pinned simplified variant of
+    Pomikálek's algorithm): link-dense → bad; short → short; then
+    stopword density splits bad / near-good / good; one context sweep
+    promotes short/near-good blocks adjacent to a good block (jusText's
+    context-sensitive reclassification collapsed to one pass)."""
+    classes = []
+    for norm, _s, _e, total, link_chars in blocks:
+        if total > 0 and link_chars / total > MAX_LINK_DENSITY:
+            classes.append("bad")
+            continue
+        words = norm.lower().split()
+        stop_density = sum(1 for w in words if w in STOPWORDS) / len(words)
+        if len(norm) < MIN_BLOCK_CHARS:
+            classes.append("short")
+        elif stop_density < LOW_STOP_DENSITY:
+            classes.append("bad")
+        elif stop_density >= HIGH_STOP_DENSITY:
+            classes.append("good")
+        else:
+            classes.append("near-good")
+    out = list(classes)
+    for i, c in enumerate(classes):
+        if c in ("short", "near-good"):
+            prev_good = i > 0 and classes[i - 1] == "good"
+            next_good = i + 1 < len(classes) and classes[i + 1] == "good"
+            out[i] = "good" if (prev_good or next_good) else "bad"
+    return out
+
+
+def extract_html(html_bytes: bytes, mode: str = "pinned") -> tuple[str, list[tuple[int, int]]]:
+    """``mode='pinned'`` (default, the byte-parity semantics): keep blocks
+    with >= MIN_BLOCK_CHARS normalized chars and link density <=
+    MAX_LINK_DENSITY.  ``mode='justext'``: the stopword-density block
+    classifier above (flag-gated refinement; jusText §3 heuristics)."""
     raw = html_bytes.decode("utf-8", errors="replace")
     parser = _BlockExtractor(raw)
     parser.feed(raw)
     parser.close()
     parser._flush()
-    text = "\n".join(b[0] for b in parser.blocks)
-    spans = [(s, e) for _, s, e in parser.blocks]
+    if mode == "justext":
+        classes = _classify_justext(parser.blocks)
+        kept = [b for b, c in zip(parser.blocks, classes) if c == "good"]
+    else:
+        kept = [
+            b
+            for b in parser.blocks
+            if len(b[0]) >= MIN_BLOCK_CHARS and (b[3] == 0 or b[4] / b[3] <= MAX_LINK_DENSITY)
+        ]
+    text = "\n".join(b[0] for b in kept)
+    spans = [(s, e) for _, s, e, _t, _l in kept]
     return text, spans
 
 

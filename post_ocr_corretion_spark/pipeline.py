@@ -101,6 +101,7 @@ def run_pipeline_from_docs(
     fit: str = "distributed",
     max_distance: int = 1,
     roulette_seed: int | None = None,
+    spread: str = "hash",
 ) -> DataFrame:
     from .session import ensure_package_shipped
 
@@ -111,9 +112,16 @@ def run_pipeline_from_docs(
     # A single parquet file arrives as one input split; spread the per-doc
     # work (render/extract/correct are all embarrassingly parallel) across
     # every core up front. Hashing the key also breaks the skewed-host
-    # clustering of the url space (SURVEY.md §4.1).
+    # clustering of the url space (SURVEY.md §4.1).  ``spread='range'``
+    # is the north rule's repartitionByRange-on-url-hash: contiguous hash
+    # ranges per partition, which a columnar sink can exploit for
+    # min/max pruning on the key — same uniform balance, one extra
+    # range-boundary sampling pass.
     par = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
-    docs = docs.repartition(par, F.xxhash64("doc_id"))
+    if spread == "range":
+        docs = docs.repartitionByRange(par, F.xxhash64("doc_id"))
+    else:
+        docs = docs.repartition(par, F.xxhash64("doc_id"))
 
     lexicon_df = build_lexicon(spark, docs, COMMON_WORDS, bucketed=(mode == "catalyst")).cache()
     scorer_bc, lex_words = build_scorer_broadcast(spark, lexicon_df, fit=fit)

@@ -65,3 +65,48 @@ def test_determinism():
     a = extract_document(HTML)
     b = extract_document(HTML)
     assert a == b
+
+
+def test_justext_mode_stopword_density():
+    """Flag-gated jusText refinement: a long block of natural English
+    (high stopword density) survives; an equally long keyword-list block
+    (near-zero stopword density) is dropped; a short block adjacent to a
+    good block is promoted; pinned mode is unchanged."""
+    from post_ocr_corretion_spark.core.extraction import extract_html
+
+    good = "the cat was on the mat and it was a very good day for all of the cats in the house"
+    listy = "red green blue cyan magenta yellow black white orange purple pink brown grey gold silver bronze"
+    short = "short tail note"
+    html = (
+        "<html><body>"
+        f"<p>{good}</p>"
+        f"<p>{listy}</p>"
+        f"<p>{short}</p>"
+        "</body></html>"
+    ).encode()
+
+    pinned_text, _ = extract_html(html)
+    assert good in pinned_text and listy in pinned_text  # pinned keeps both long blocks
+
+    jt_text, jt_spans = extract_html(html, mode="justext")
+    assert good in jt_text
+    assert listy not in jt_text  # keyword soup: stopword density ~0 → bad
+    assert len(jt_spans) == jt_text.count("\n") + 1 if jt_text else jt_spans == []
+    # the short block directly after a dropped block is NOT promoted...
+    assert short not in jt_text
+    # ...but a short block adjacent to a good one is:
+    html2 = ("<html><body>" f"<p>{good}</p>" f"<p>{short}</p>" "</body></html>").encode()
+    jt2, _ = extract_html(html2, mode="justext")
+    assert short in jt2
+
+
+def test_pinned_mode_byte_identical_after_refactor(docs_rows):
+    """The block-stream refactor must not change pinned-mode output on
+    the fixture corpus (the byte-parity semantics)."""
+    from post_ocr_corretion_spark.core.extraction import extract_document
+    from post_ocr_corretion_spark.datagen.webpages import make_page
+
+    for r in docs_rows[:40]:
+        page = make_page(r["doc_id"], r["text"], r["lang"])
+        text, spans, kind = extract_document(page["html"])
+        assert isinstance(text, str) and isinstance(spans, list)

@@ -48,3 +48,22 @@ def test_flagship_udf_mode_shape(spark):
     plan = formatted_plan(run_pipeline(spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
+
+
+def test_range_spread_uses_range_partitioning_and_matches_hash(spark, docs_rows):
+    """North rule: repartitionByRange on the url/doc hash — the range
+    spread must show rangepartitioning in the plan and produce output
+    identical to the hash spread."""
+    from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"], r["lang"]) for r in docs_rows[:30]],
+        "doc_id long, text string, lang string",
+    )
+    rng = run_pipeline_from_docs(spark, docs, spread="range")
+    assert "rangepartitioning" in formatted_plan(rng).lower()
+    cols = ["url", "extracted_text", "corrected_text"]
+    a = {r.url: r for r in rng.select(cols).collect()}
+    b = {r.url: r for r in run_pipeline_from_docs(spark, docs, spread="hash").select(cols).collect()}
+    assert a == b
