@@ -756,6 +756,25 @@ def q_skew_salted_counts(spark, sf):
     return two_phase_count_by_host(pages, hot_hosts=["h0.example.com"])
 
 
+def q_hof_array_ops(spark, sf):
+    """Higher-order array functions over the embedding vectors —
+    transform / filter / aggregate (left fold, double accumulator so both
+    engines fold identically in list order) / array_max."""
+    e = _t(spark, sf, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))), 6
+        ).alias("l1"),
+        F.round(F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))), 6).alias(
+            "max_abs"
+        ),
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -837,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_rows_frame": q_w_rows_frame,
         "approx_quantile": q_approx_quantile,
         "skew_salted_counts": q_skew_salted_counts,
+        "hof_array_ops": q_hof_array_ops,
     }
 
 
@@ -1177,6 +1197,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'h' || CAST(doc_id % 31 + 1 AS VARCHAR) || '.example.com' END AS host,
                    CAST(count(*) AS BIGINT) AS n_pages
             FROM documents GROUP BY 1
+        """,
+        "hof_array_ops": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS n,
+                   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+                   round(list_aggregate(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE)), 'sum'), 6) AS l1,
+                   round(list_aggregate(list_transform(embedding, x -> CAST(abs(x) AS DOUBLE)), 'max'), 6) AS max_abs
+            FROM embeddings
         """,
         "grouping_sets_counts": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,

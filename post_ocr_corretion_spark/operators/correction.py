@@ -199,6 +199,34 @@ def run_beam(
     return state.withColumn("corrected_words", best["words"]).drop("beams")
 
 
+def run_beam_tiered(
+    detected: DataFrame,
+    cand_agg: DataFrame,
+    beam_width: int = BEAM_WIDTH,
+    tiers: tuple[int, ...] = (2, 8, 32),
+) -> DataFrame:
+    """run_beam with the global-max-rounds weakness fixed: docs are split
+    by error count into tiers and each tier's lockstep loop runs only to
+    ITS ceiling — a single 500-error document forces 500 broadcast+plan
+    rounds over its (tiny) tier instead of over the whole dataset.
+    Zero-error docs bypass the loop entirely.  Byte-identical to run_beam
+    (extra rounds on finished docs are no-ops; tiering only removes
+    them) — tested."""
+    detected = detected.localCheckpoint(eager=True)
+    n_err = F.size("errors")
+    pieces = [
+        detected.filter(n_err == 0).withColumn("corrected_words", F.col("words"))
+    ]
+    bounds = [0, *tiers, None]
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (n_err > lo) if hi is None else ((n_err > lo) & (n_err <= hi))
+        pieces.append(run_beam(detected.filter(cond), cand_agg, beam_width))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _WORKER_STATE: dict[tuple[int, int, int], tuple] = {}
 
 

@@ -81,6 +81,54 @@ def _make_ttl_dedup_fn(ttl_seconds: int):
     return fn
 
 
+BLOOM_STATE_SCHEMA = "bits binary, m int, k int"
+
+
+def _make_bloom_dedup_fn(m_bits: int, k: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        from ..core.bloom import BloomFilter
+
+        if state.exists:
+            raw, m, kk = state.get
+            bf = BloomFilter(m, kk, bytearray(raw))
+        else:
+            bf = BloomFilter(m_bits, k)
+        fresh: list[str] = []
+        for pdf in pdfs:
+            for url in pdf["url"]:
+                if url not in bf:
+                    bf.add(url)
+                    fresh.append(url)
+        state.update((bytes(bf.bits), bf.m, bf.k))
+        yield pd.DataFrame({"url": fresh, "bucket": [key[0]] * len(fresh)})
+
+    return fn
+
+
+def first_seen_urls_bloom(
+    pages: DataFrame, m_bits: int = 1 << 20, k: int = 7, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """The 10^12-url variant: per-bucket state is a FIXED-SIZE Bloom
+    filter (``m_bits`` bits), so total state is exactly
+    n_buckets × m_bits/8 bytes no matter how many urls stream through.
+    Guarantees: a url emitted once is NEVER re-emitted (no false
+    negatives — the md5 bit positions of an added url stay set); the
+    price is a documented false-positive rate (a never-seen url can be
+    wrongly dropped) that grows with fill factor — size m_bits for the
+    expected distinct-urls-per-bucket at fpp, exactly like the scorer's
+    membership filter (core/bloom.py)."""
+    bucketed = pages.select("url").withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _make_bloom_dedup_fn(m_bits, k),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def first_seen_urls(pages: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
     """Streaming DataFrame (url, ...) → rows for first-seen urls only.
     With ``ttl_seconds`` the input must carry a LONG ``ts`` column (epoch

@@ -70,3 +70,44 @@ def test_smoke_sentence(fixture_scorer, fixture_lexicon):
     out = correct_sentence("the dis0ric! is in the cit.", fixture_scorer, fixture_lexicon)
     assert out[0] == "the"
     assert len(out) == 6
+
+
+def test_run_beam_tiered_equals_run_beam(spark, docs_rows, fixture_lexicon, fixture_scorer):
+    """Tiered lockstep beam (per-error-count tiers, bounded rounds) is
+    byte-identical to the single global loop."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.datagen.wordlist import COMMON_WORDS
+    from post_ocr_corretion_spark.operators.candidates import candidate_batches
+    from post_ocr_corretion_spark.operators.correction import (
+        distinct_error_words,
+        run_beam,
+        run_beam_tiered,
+        with_detection,
+    )
+    from post_ocr_corretion_spark.operators.lexicon import build_lexicon, deletion_neighborhood
+
+    from post_ocr_corretion_spark.datagen.webpages import ocr_noise_text
+
+    docs = spark.createDataFrame(
+        [(i, ocr_noise_text(r["text"], i)) for i, r in enumerate(docs_rows[:40])],
+        "doc_id long, text string",
+    ).withColumn("extracted_text", F.col("text"))
+    lex_df = build_lexicon(spark, docs, COMMON_WORDS)
+    scorer_bc = spark.sparkContext.broadcast(fixture_scorer)
+    detected = with_detection(docs, scorer_bc)
+    cand_agg = candidate_batches(
+        distinct_error_words(detected), lex_df, deletion_neighborhood(lex_df), scorer_bc
+    ).cache()
+    cand_agg.count()
+    plain = {r.doc_id: r.corrected_words for r in run_beam(detected, cand_agg).collect()}
+    tiered = {
+        r.doc_id: r.corrected_words
+        for r in run_beam_tiered(detected, cand_agg, tiers=(1, 2, 4)).select(
+            "doc_id", "corrected_words"
+        ).collect()
+    }
+    assert plain == tiered
+    # sanity: the fixture actually spans several tiers
+    counts = [len(r.errors) for r in detected.select("errors").collect()]
+    assert max(counts) > 4 and min(counts) >= 0
