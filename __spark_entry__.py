@@ -775,6 +775,43 @@ def q_hof_array_ops(spark, sf):
     )
 
 
+def _entity_tokens(spark, sf, corrupt: bool):
+    """(doc_id, pos, etype) token stream: type from token length (>=7 →
+    LONG, 4..6 → MID, else null/O); the 'pred' side deterministically
+    drops the last char of every 5th token, shifting entity boundaries."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "w")
+    )
+    if corrupt:
+        tok = tok.withColumn(
+            "w",
+            F.when(
+                (F.col("doc_id") + F.col("pos")) % 5 == 0,
+                F.expr("substring(w, 1, greatest(length(w) - 1, 0))"),
+            ).otherwise(F.col("w")),
+        )
+    return tok.select(
+        "doc_id",
+        "pos",
+        F.when(F.length("w") >= 7, F.lit("LONG"))
+        .when(F.length("w") >= 4, F.lit("MID"))
+        .alias("etype"),
+    )
+
+
+def q_seqeval_f1(spark, sf):
+    """M6 (seqeval-style entity metrics, BERTFineTuning.py eval): exact
+    (start, end, type) span matching between the gold token stream and a
+    deterministically corrupted prediction stream — P/R/F1 in one
+    distributed aggregate."""
+    from post_ocr_corretion_spark.operators.metrics import entity_spans, seqeval_entity_f1
+
+    gold = entity_spans(_entity_tokens(spark, sf, corrupt=False))
+    pred = entity_spans(_entity_tokens(spark, sf, corrupt=True))
+    return seqeval_entity_f1(gold, pred)
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -857,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile": q_approx_quantile,
         "skew_salted_counts": q_skew_salted_counts,
         "hof_array_ops": q_hof_array_ops,
+        "seqeval_f1": q_seqeval_f1,
     }
 
 
@@ -1197,6 +1235,62 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'h' || CAST(doc_id % 31 + 1 AS VARCHAR) || '.example.com' END AS host,
                    CAST(count(*) AS BIGINT) AS n_pages
             FROM documents GROUP BY 1
+        """,
+        "seqeval_f1": """
+            WITH tok AS (
+              SELECT doc_id, pos, words[pos + 1] AS w
+              FROM (SELECT doc_id, string_split(text, ' ') AS words,
+                           unnest(range(len(string_split(text, ' ')))) AS pos
+                    FROM documents)
+            ),
+            typed AS (
+              SELECT doc_id, pos, w,
+                     CASE WHEN (doc_id + pos) % 5 = 0 THEN substr(w, 1, greatest(length(w) - 1, 0)) ELSE w END AS pw
+              FROM tok
+            ),
+            gtok AS (
+              SELECT doc_id, pos,
+                     CASE WHEN length(w) >= 7 THEN 'LONG' WHEN length(w) >= 4 THEN 'MID' END AS etype
+              FROM typed
+            ),
+            ptok AS (
+              SELECT doc_id, pos,
+                     CASE WHEN length(pw) >= 7 THEN 'LONG' WHEN length(pw) >= 4 THEN 'MID' END AS etype
+              FROM typed
+            ),
+            gspan AS (
+              SELECT doc_id, min(pos) AS s, max(pos) AS e, etype
+              FROM (SELECT *, sum(CASE WHEN etype IS NOT NULL AND (prev IS NULL OR prev <> etype) THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM (SELECT *, lag(etype) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM gtok))
+              WHERE etype IS NOT NULL GROUP BY doc_id, grp, etype
+            ),
+            pspan AS (
+              SELECT doc_id, min(pos) AS s, max(pos) AS e, etype
+              FROM (SELECT *, sum(CASE WHEN etype IS NOT NULL AND (prev IS NULL OR prev <> etype) THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                    FROM (SELECT *, lag(etype) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM ptok))
+              WHERE etype IS NOT NULL GROUP BY doc_id, grp, etype
+            ),
+            joined AS (
+              SELECT coalesce(g.g, 0) AS g, coalesce(p.p, 0) AS p
+              FROM (SELECT doc_id, s, e, etype, 1 AS g FROM gspan) g
+              FULL OUTER JOIN (SELECT doc_id, s, e, etype, 1 AS p FROM pspan) p
+              USING (doc_id, s, e, etype)
+            ),
+            agg AS (
+              SELECT CAST(sum(g) AS BIGINT) AS n_gold, CAST(sum(p) AS BIGINT) AS n_pred,
+                     CAST(sum(g * p) AS BIGINT) AS n_match
+              FROM joined
+            )
+            SELECT n_gold, n_pred, n_match,
+                   round(n_match * 1.0 / n_pred, 6) AS precision,
+                   round(n_match * 1.0 / n_gold, 6) AS recall,
+                   CASE WHEN n_match = 0 THEN 0.0
+                        ELSE round(2.0 * (n_match * 1.0 / n_pred) * (n_match * 1.0 / n_gold)
+                                   / ((n_match * 1.0 / n_pred) + (n_match * 1.0 / n_gold)), 6)
+                   END AS f1
+            FROM agg
         """,
         "hof_array_ops": """
             SELECT vec_id,

@@ -75,3 +75,61 @@ def word_difference_count(pairs: DataFrame, in_col="input_words", out_col="outpu
             "n_diff"
         ),
     )
+
+
+def entity_spans(tokens: DataFrame, id_col="doc_id", pos_col="pos", type_col="etype") -> DataFrame:
+    """M6 (seqeval-style): contiguous runs of same-typed tokens become
+    entity spans (doc_id, s, e, etype). BIO semantics pinned to the
+    run-grouping form: a span starts where the type appears after a
+    different (or null) type — equivalent to seqeval's default scheme
+    when tags are derived from token types. Pure Catalyst: one window
+    (lag + running sum of span starts), one groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    is_start = (
+        F.col(type_col).isNotNull()
+        & (
+            F.lag(type_col).over(w).isNull()
+            | (F.lag(type_col).over(w) != F.col(type_col))
+        )
+    ).cast("int")
+    grp = F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        tokens.withColumn("_grp", grp)
+        .filter(F.col(type_col).isNotNull())
+        .groupBy(id_col, "_grp", type_col)
+        .agg(F.min(pos_col).alias("s"), F.max(pos_col).alias("e"))
+        .select(id_col, "s", "e", type_col)
+    )
+
+
+def seqeval_entity_f1(gold_spans: DataFrame, pred_spans: DataFrame, id_col="doc_id") -> DataFrame:
+    """Entity-level exact-match P/R/F1 (seqeval semantics: an entity
+    counts iff (start, end, type) all agree). ONE distributed job: a full
+    outer join on the span key with presence markers, then a single
+    aggregate — no driver-side counting. One row:
+    (n_gold, n_pred, n_match, precision, recall, f1)."""
+    g = gold_spans.withColumn("_g", F.lit(1))
+    p = pred_spans.withColumn("_p", F.lit(1))
+    j = g.join(p, [id_col, "s", "e", "etype"], "full")
+    agg = j.agg(
+        F.coalesce(F.sum("_g"), F.lit(0)).alias("n_gold"),
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum(F.col("_g") * F.col("_p")), F.lit(0)).alias("n_match"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_match") / F.col("n_pred")).otherwise(F.lit(0.0))
+    rec = F.when(F.col("n_gold") > 0, F.col("n_match") / F.col("n_gold")).otherwise(F.lit(0.0))
+    return (
+        agg.withColumn("precision", F.round(prec, 6))
+        .withColumn("recall", F.round(rec, 6))
+        .withColumn(
+            "f1",
+            F.round(
+                F.when(
+                    prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )

@@ -84,3 +84,38 @@ def test_a14_word_difference(spark):
     df = spark.createDataFrame(rows, "doc_id long, input_words array<string>, output_words array<string>")
     got = {r.doc_id: r.n_diff for r in word_difference_count(df).collect()}
     assert got == {1: 1, 2: 0}  # duplicates of present words count as present
+
+
+def test_entity_spans_and_seqeval_f1_hand_case(spark):
+    """M6: spans from a tiny hand-checked token stream, and the exact-match
+    F1 arithmetic."""
+    from post_ocr_corretion_spark.operators.metrics import entity_spans, seqeval_entity_f1
+
+    # doc 1: [LONG LONG] [MID] O [LONG]  → 3 gold spans
+    gold_tok = spark.createDataFrame(
+        [(1, 0, "LONG"), (1, 1, "LONG"), (1, 2, "MID"), (1, 3, None), (1, 4, "LONG")],
+        "doc_id long, pos int, etype string",
+    )
+    gold = entity_spans(gold_tok)
+    assert {(r.doc_id, r.s, r.e, r.etype) for r in gold.collect()} == {
+        (1, 0, 1, "LONG"),
+        (1, 2, 2, "MID"),
+        (1, 4, 4, "LONG"),
+    }
+    # pred: first span truncated to [0,0], MID span exact, third missed,
+    # plus a spurious MID at 3 → matches = 1
+    pred_tok = spark.createDataFrame(
+        [(1, 0, "LONG"), (1, 1, None), (1, 2, "MID"), (1, 3, "MID"), (1, 4, None)],
+        "doc_id long, pos int, etype string",
+    )
+    pred = entity_spans(pred_tok)
+    # note: pos 2 and 3 are ADJACENT same-type tokens → one span (2,3),
+    # so the exact MID match disappears too: matches = 0... verify:
+    got = {(r.s, r.e, r.etype) for r in pred.collect()}
+    assert got == {(0, 0, "LONG"), (2, 3, "MID")}
+    row = seqeval_entity_f1(gold, pred).collect()[0]
+    assert (row.n_gold, row.n_pred, row.n_match) == (3, 2, 0)
+    assert row.precision == 0.0 and row.recall == 0.0 and row.f1 == 0.0
+    # identical streams → perfect score
+    perfect = seqeval_entity_f1(gold, entity_spans(gold_tok)).collect()[0]
+    assert (perfect.precision, perfect.recall, perfect.f1) == (1.0, 1.0, 1.0)
