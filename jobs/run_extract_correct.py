@@ -29,6 +29,25 @@ def main(argv: list[str] | None = None) -> int:
         "--new-snapshot", action="store_true", help="always write a new snapshot instead of resuming"
     )
     parser.add_argument("--cores", type=int, default=None)
+    parser.add_argument(
+        "--fit",
+        choices=["distributed", "spark-agg", "driver"],
+        default="distributed",
+        help="scorer construction (pipeline.build_scorer_broadcast)",
+    )
+    parser.add_argument("--max-distance", type=int, default=1, choices=[1, 2])
+    parser.add_argument(
+        "--spread",
+        choices=["hash", "range"],
+        default="hash",
+        help="input spread: hash repartition or repartitionByRange on the doc hash",
+    )
+    parser.add_argument(
+        "--roulette-seed",
+        type=int,
+        default=None,
+        help="enable the reference's seeded roulette-wheel W2 selection",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -47,7 +66,15 @@ def main(argv: list[str] | None = None) -> int:
     obs = Observation("counters")
 
     def job():
-        df = run_pipeline(spark, args.sf_dir, mode=args.mode)
+        df = run_pipeline(
+            spark,
+            args.sf_dir,
+            mode=args.mode,
+            fit=args.fit,
+            max_distance=args.max_distance,
+            roulette_seed=args.roulette_seed,
+            spread=args.spread,
+        )
         return df.observe(
             obs,
             F.count(F.lit(1)).alias("pages"),

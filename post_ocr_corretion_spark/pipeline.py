@@ -81,6 +81,7 @@ def run_pipeline(
     fit: str = "distributed",
     max_distance: int = 1,
     roulette_seed: int | None = None,
+    spread: str = "hash",
 ) -> DataFrame:
     """``mode='udf'`` (default): single-pass Arrow-batched beam — the
     throughput path, zero shuffles after extraction.  ``mode='catalyst'``:
@@ -88,7 +89,7 @@ def run_pipeline(
     Both are byte-identical to the oracle (tests assert it)."""
     return run_pipeline_from_docs(
         spark, read_documents(spark, sf_dir), max_rounds, mode, fit=fit,
-        max_distance=max_distance, roulette_seed=roulette_seed,
+        max_distance=max_distance, roulette_seed=roulette_seed, spread=spread,
     )
 
 
