@@ -128,6 +128,37 @@ class SnapshotWriter:
         sid = snapshot_id if snapshot_id is not None else self.latest()
         return spark.read.parquet(self.manifest(sid)["lineage_path"])
 
+    def compact(
+        self, spark: SparkSession, snapshot_id: int | None = None, target_files: int = 8
+    ) -> int:
+        """Iceberg ``rewrite_data_files`` analog: rewrite a committed
+        snapshot's data into ``target_files`` files as a NEW snapshot
+        (append-only — the source snapshot stays time-travelable). The
+        manifest records the provenance (``compacted_from``). Returns the
+        new snapshot id."""
+        src = snapshot_id if snapshot_id is not None else self.latest()
+        df = self.read(spark, src).coalesce(target_files)
+        sid = self.write(df, counters={"compacted_from": src})
+        m = self.manifest(sid)
+        m["compacted_from"] = src
+        tmp = os.path.join(self.base, "_snapshots", f".{sid}.json.tmp2")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.rename(tmp, os.path.join(self.base, "_snapshots", f"{sid}.json"))
+        return sid
+
+    def diff(self, spark: SparkSession, sid_a: int, sid_b: int, key_col: str) -> DataFrame:
+        """Changelog between two snapshots keyed by ``key_col``:
+        (key, change) with change ∈ {added, removed} — keys present in b
+        but not a, and vice versa (an Iceberg incremental-read analog;
+        content changes under the same key are out of scope for this
+        key-level diff)."""
+        a = self.read(spark, sid_a).select(F.col(key_col).alias("key")).distinct()
+        b = self.read(spark, sid_b).select(F.col(key_col).alias("key")).distinct()
+        added = b.join(a, "key", "left_anti").select("key", F.lit("added").alias("change"))
+        removed = a.join(b, "key", "left_anti").select("key", F.lit("removed").alias("change"))
+        return added.unionByName(removed)
+
     def resume_or_run(
         self, spark: SparkSession, job, key_col: str | None = None, counters_fn=None
     ) -> tuple[DataFrame, bool]:

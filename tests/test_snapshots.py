@@ -75,3 +75,32 @@ def test_concurrent_sid_claims_never_collide(tmp_path):
     assert s1 != s2
     # a third writer skips both outstanding claims
     assert SnapshotWriter(str(tmp_path))._claim_sid() not in (s1, s2)
+
+
+def test_compact_preserves_rows_and_provenance(spark, tmp_path):
+    """Compaction rewrites a snapshot into fewer files as a NEW snapshot;
+    rows identical, source stays readable (time travel), manifest records
+    provenance."""
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+    w = SnapshotWriter(str(tmp_path))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k").repartition(32)
+    s1 = w.write(df, key_col="k")
+    assert len(w.read_lineage(spark, s1).collect()) > 8
+    s2 = w.compact(spark, s1, target_files=4)
+    assert s2 != s1
+    assert w.manifest(s2)["compacted_from"] == s1
+    rows1 = sorted(r.k for r in w.read(spark, s1).collect())
+    rows2 = sorted(r.k for r in w.read(spark, s2).collect())
+    assert rows1 == rows2
+    assert len(w.read_lineage(spark, s2).collect()) <= 4
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+    w = SnapshotWriter(str(tmp_path))
+    s1 = w.write(spark.createDataFrame([(k,) for k in "abcd"], "k string"), key_col="k")
+    s2 = w.write(spark.createDataFrame([(k,) for k in "bcde"], "k string"), key_col="k")
+    got = {(r.key, r.change) for r in w.diff(spark, s1, s2, "k").collect()}
+    assert got == {("e", "added"), ("a", "removed")}
