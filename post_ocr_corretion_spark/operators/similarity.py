@@ -134,6 +134,49 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def kmeans_centroids_distributed(
+    emb: DataFrame, k: int = 8, iters: int = 5, vec_col: str = "v"
+) -> list[list[float]]:
+    """Fully distributed Lloyd's k-means for the IVF coarse quantizer:
+    assignment is a Catalyst argmax over broadcast centroid literals and
+    the update is a per-(list, dimension) sum/count aggregation — only
+    the k×d centroid matrix ever reaches the driver (a model artifact),
+    never the vectors, so the fit scales to any corpus (contrast
+    ``kmeans_centroids``, the driver-sample variant). Init is the
+    deterministic hash-ordered first k; updates are deterministic up to
+    float-sum order across partitions (assignments can flip only on
+    exact cosine ties)."""
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    emb_n = emb.select(
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("vn")
+    ).filter(norm > 0)
+    init = (
+        emb_n.orderBy(F.xxhash64(F.col("vn").cast("string"))).limit(k).collect()
+    )
+    C = [[float(x) for x in r.vn] for r in init]
+    for _ in range(iters):
+        scores = _centroid_scores(F.col("vn"), C)
+        best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        stats = (
+            emb_n.select(best.alias("list_id"), F.posexplode("vn").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            by_list.setdefault(r.list_id, {})[r.pos] = (r.s, r.n)
+        for j in range(k):
+            dims = by_list.get(j)
+            if not dims:
+                continue  # empty cluster keeps its previous centroid
+            mean = np.array([dims[p][0] / dims[p][1] for p in sorted(dims)])
+            n = np.linalg.norm(mean)
+            if n > 0:
+                C[j] = [float(x) for x in mean / n]
+    return C
+
+
 def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
     """array of cosine(vec, centroid_j) in centroid order."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))

@@ -88,3 +88,30 @@ def test_lsh_near_dup_subset_of_exact(spark, emb):
     assert lsh <= exact  # LSH candidates are verified with exact cosine
     if exact:
         assert len(lsh) / len(exact) >= 0.1  # 6 planes keeps some recall
+
+
+def test_distributed_kmeans_ivf_recall(spark, emb, queries):
+    """The fully distributed Lloyd fit (only the k×d matrix hits the
+    driver) produces unit centroids, non-degenerate lists, and IVF recall
+    on par with the sample fit."""
+    from post_ocr_corretion_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids_distributed,
+    )
+
+    cents = kmeans_centroids_distributed(emb, k=8, iters=4)
+    assert len(cents) == 8 and all(abs(np.linalg.norm(c) - 1) < 1e-9 for c in cents)
+    counts = ivf_assign(emb, cents).groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert len(counts) >= 4
+
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=5).collect():
+        exact.setdefault(r.qid, set()).add(r.vec_id)
+    approx = {}
+    for r in ivf_topk(emb, queries, cents, k=5, nprobe=3).collect():
+        approx.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(approx.get(q, set()) & s) / len(s) for q, s in exact.items()]
+    assert sum(recalls) / len(recalls) >= 0.5
