@@ -812,6 +812,92 @@ def q_seqeval_f1(spark, sf):
     return seqeval_entity_f1(gold, pred)
 
 
+def q_tpch_q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS correlated semi-join (orders having at
+    least one lineitem shipped after the order date), counted by
+    priority."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    qualifying = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return qualifying.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q13_cust_distribution(spark, sf):
+    """TPC-H Q13 shape: double aggregation over a LEFT OUTER join —
+    distribution of customers by their order count (zero included)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING over a grouped sum — orders whose total
+    quantity exceeds the threshold."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+def q_tpch_q22_acctbal(spark, sf):
+    """TPC-H Q22 shape: scalar subquery (global average balance over
+    positive accounts) filtering customers WITHOUT orders, grouped by
+    market segment."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    # scalar subquery as a broadcast cross join — stays fully distributed
+    avg_df = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(avg_df)).filter(F.col("c_acctbal") > F.col("ab")).drop("ab")
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("double")), 2).alias("totacctbal"),
+    )
+
+
+def q_pivot_returnflag(spark, sf):
+    """Pivot: lineitem counts by linestatus × returnflag as columns."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_linestatus",
+            F.coalesce("A", F.lit(0)).alias("n_a"),
+            F.coalesce("N", F.lit(0)).alias("n_n"),
+            F.coalesce("R", F.lit(0)).alias("n_r"),
+        )
+    )
+
+
+def q_ntile_quartiles(spark, sf):
+    """ntile(4) over the global total-price order (deterministic
+    orderkey tie-break) — per-quartile count and price bounds."""
+    o = _t(spark, sf, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -895,6 +981,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_counts": q_skew_salted_counts,
         "hof_array_ops": q_hof_array_ops,
         "seqeval_f1": q_seqeval_f1,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q22_acctbal": q_tpch_q22_acctbal,
+        "pivot_returnflag": q_pivot_returnflag,
+        "ntile_quartiles": q_ntile_quartiles,
     }
 
 
@@ -1235,6 +1327,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'h' || CAST(doc_id % 31 + 1 AS VARCHAR) || '.example.com' END AS host,
                    CAST(count(*) AS BIGINT) AS n_pages
             FROM documents GROUP BY 1
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q13_cust_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+              SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "tpch_q18_large_orders": """
+            SELECT l_orderkey, round(sum(CAST(l_quantity AS DOUBLE)), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(CAST(l_quantity AS DOUBLE)), 2) > 150
+        """,
+        "tpch_q22_acctbal": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "pivot_returnflag": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+                   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "ntile_quartiles": """
+            SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+            FROM (SELECT o_totalprice,
+                         ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS q
+                  FROM orders)
+            GROUP BY q
         """,
         "seqeval_f1": """
             WITH tok AS (
