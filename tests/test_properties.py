@@ -143,3 +143,35 @@ def test_segmenter_decode_is_total_and_lossless(text):
     out = seg.segment(text)
     assert "".join(out) == text
     assert all(tok for tok in out)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(
+        alphabet="<>/ab p&;#\"'=!-\n\t",
+        max_size=200,
+    )
+)
+def test_extract_html_total_on_malformed_input(junk):
+    """The extractor never raises on arbitrary tag soup, and every span
+    stays within the decoded document bounds with s < e."""
+    from post_ocr_corretion_spark.core.extraction import extract_html
+
+    raw = ("<html><body><p>" + junk + "</p></body></html>").encode()
+    text, spans = extract_html(raw)
+    n = len(raw.decode("utf-8", errors="replace"))
+    assert isinstance(text, str)
+    for s, e in spans:
+        assert 0 <= s < e <= n
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=120))
+def test_extract_document_total_on_arbitrary_bytes(blob):
+    """extract_document is total over arbitrary bytes (html fallback or
+    pdf stub), never raising."""
+    from post_ocr_corretion_spark.core.extraction import extract_document
+
+    text, spans, kind = extract_document(blob)
+    assert kind in ("html", "pdf_fake", "pdf_stub")
+    assert isinstance(text, str) and isinstance(spans, list)
