@@ -181,12 +181,21 @@ def extract_pdf_fake(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
 
 def extract_document(html_bytes: bytes) -> tuple[str, list[tuple[int, int]], str]:
     """Dispatch per page kind. Returns (text, spans, kind) where kind ∈
-    {html, pdf_fake, pdf_stub}. Real PDFs are STUBBED (no pdfminer in this
-    container): empty text, kind="pdf_stub"."""
+    {html, pdf_fake, pdf_real, pdf_stub}. Real %PDF bytes go through the
+    minimal stdlib parser (core/pdf.py: Flate streams, Tj/TJ with
+    Td/TD/Tm positioning, reading order by position); anything outside
+    that subset (composite fonts, encryption, exotic filters) falls back
+    to the honest ``pdf_stub`` marker — never a silent half-parse."""
     if html_bytes.startswith(b"%PDF-FAKE"):
         text, spans = extract_pdf_fake(html_bytes)
         return text, spans, "pdf_fake"
     if html_bytes.startswith(b"%PDF"):
-        return "", [], "pdf_stub"
+        from .pdf import extract_pdf_real
+
+        try:
+            text, spans = extract_pdf_real(html_bytes)
+            return text, spans, "pdf_real"
+        except ValueError:
+            return "", [], "pdf_stub"
     text, spans = extract_html(html_bytes)
     return text, spans, "html"

@@ -109,11 +109,29 @@ def render_pdf_fake(doc_id: int, noisy_text: str) -> bytes:
     return f"%PDF-FAKE 1.0\n{body}\n".encode("utf-8")
 
 
+def render_pdf_real(doc_id: int, noisy_text: str) -> bytes:
+    """A REAL single-page PDF (core/pdf.py writer: Flate content stream,
+    xref, Tm-positioned text) — paragraphs placed top-down in shuffled
+    emission order; the extractor recovers reading order by position."""
+    rng = _rng(doc_id, 4)
+    pars = _paragraphs(noisy_text, 10)
+    lines = [(72.0, 720.0 - 18.0 * i, p) for i, p in enumerate(pars)]
+    rng.shuffle(lines)
+    from ..core.pdf import build_simple_pdf
+
+    return build_simple_pdf(lines)
+
+
 def make_page(doc_id: int, text: str, lang: str) -> dict:
-    """One north-rule row: (url, warc_ts, html, text, lang)."""
+    """One north-rule row: (url, warc_ts, html, text, lang). Half the
+    .pdf pages are REAL PDFs (doc_id % 32 == 7), half stay the fake
+    layout format — both are parsed for real by core extraction."""
     noisy = ocr_noise_text(text, doc_id)
     url = url_for(doc_id)
-    html = render_pdf_fake(doc_id, noisy) if url.endswith(".pdf") else render_html(doc_id, noisy)
+    if url.endswith(".pdf"):
+        html = render_pdf_real(doc_id, noisy) if doc_id % 32 == 7 else render_pdf_fake(doc_id, noisy)
+    else:
+        html = render_html(doc_id, noisy)
     return {
         "url": url,
         "warc_ts": warc_ts_for(doc_id),

@@ -1,0 +1,104 @@
+"""Real minimal PDF extraction (core/pdf.py): genuine write→parse
+round-trips, reading-order recovery, escapes, TJ arrays, raw vs Flate
+streams, honest stub fallback for unsupported constructs, and the
+extract_document dispatch."""
+from __future__ import annotations
+
+import zlib
+
+from post_ocr_corretion_spark.core.pdf import build_simple_pdf, extract_pdf_real
+
+
+def test_roundtrip_reading_order():
+    # placed out of order: reading order = top-to-bottom (descending y),
+    # then left-to-right
+    lines = [
+        (72, 700, "first line at the top"),
+        (72, 650, "second line below"),
+        (300, 700, "top right column"),
+        (72, 600, "third line"),
+    ]
+    pdf = build_simple_pdf([lines[1], lines[3], lines[2], lines[0]])
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    text, spans = extract_pdf_real(pdf)
+    assert text.split("\n") == [
+        "first line at the top",
+        "top right column",
+        "second line below",
+        "third line",
+    ]
+    assert len(spans) == 4 and all(s < e for s, e in spans)
+
+
+def test_escapes_and_uncompressed():
+    lines = [(10, 100, "parens (nested) and \\ backslash")]
+    for compress in (True, False):
+        pdf = build_simple_pdf(lines, compress=compress)
+        text, _ = extract_pdf_real(pdf)
+        assert text == "parens (nested) and \\ backslash"
+
+
+def test_tj_array_and_td_moves():
+    """Hand-built content stream: TD relative moves + a TJ array with
+    kerning numbers between literals."""
+    content = b"BT /F1 12 Tf 50 700 Td (Hello ) Tj 0 -20 TD [(wor) -30 (ld)] TJ ET"
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, spans = extract_pdf_real(raw)
+    assert text == "Hello \nworld"
+    assert len(spans) == 2
+
+
+def test_unsupported_falls_back_to_stub():
+    from post_ocr_corretion_spark.core.extraction import extract_document
+
+    encrypted = b"%PDF-1.7\n/Encrypt <<>>\nstream\nendstream"
+    assert extract_document(encrypted)[2] == "pdf_stub"
+    cmap = build_simple_pdf([(0, 0, "x")]).replace(b"/Type1", b"/Type0")
+    assert extract_document(cmap)[2] == "pdf_stub"
+    no_stream = b"%PDF-1.4\nnothing here"
+    assert extract_document(no_stream)[2] == "pdf_stub"
+
+
+def test_extract_document_dispatch_real_pdf():
+    from post_ocr_corretion_spark.core.extraction import extract_document
+
+    pdf = build_simple_pdf([(72, 700, "a real pdf page"), (72, 680, "with two lines")])
+    text, spans, kind = extract_document(pdf)
+    assert kind == "pdf_real"
+    assert text == "a real pdf page\nwith two lines"
+    assert len(spans) == 2
+
+
+def test_real_pdf_flows_through_spark_pipeline(spark):
+    """Real-PDF pages ride the flagship: extracted AND corrected (they
+    are not stubs), end to end through run_pipeline_from_docs with a
+    custom source providing the raw bytes."""
+    import datetime
+
+    from post_ocr_corretion_spark.operators.extract import extract
+    from post_ocr_corretion_spark.sources.webpages import WEBPAGE_SCHEMA
+
+    pdf = build_simple_pdf([(72, 700, "the cat sat"), (72, 680, "on the mat")])
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://x.example.com/a.pdf",
+                datetime.datetime(2020, 1, 1),
+                bytearray(pdf),
+                "the cat sat on the mat",
+                "en",
+                1,
+            )
+        ],
+        WEBPAGE_SCHEMA,
+    )
+    rows = extract(pages).collect()
+    assert len(rows) == 1
+    assert rows[0].kind == "pdf_real"
+    assert rows[0].extracted_text == "the cat sat\non the mat"

@@ -173,5 +173,5 @@ def test_extract_document_total_on_arbitrary_bytes(blob):
     from post_ocr_corretion_spark.core.extraction import extract_document
 
     text, spans, kind = extract_document(blob)
-    assert kind in ("html", "pdf_fake", "pdf_stub")
+    assert kind in ("html", "pdf_fake", "pdf_real", "pdf_stub")
     assert isinstance(text, str) and isinstance(spans, list)
