@@ -81,6 +81,42 @@ def _make_ttl_dedup_fn(ttl_seconds: int):
     return fn
 
 
+def first_seen_pages(pages: DataFrame) -> DataFrame:
+    """Full-row form of ``first_seen_urls`` for streaming pipelines: the
+    ENTIRE page row passes through the stateful operator (no
+    stream-stream rejoin needed downstream); re-delivered urls are
+    dropped within and across micro-batches. Output schema == input
+    schema."""
+    out_schema = pages.schema
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        names = [f.name for f in out_schema.fields]
+        for pdf in pdfs:
+            mask = []
+            for url in pdf["url"]:
+                if url not in seen:
+                    seen.add(url)
+                    mask.append(True)
+                else:
+                    mask.append(False)
+            out = pdf.loc[mask, names]
+            if len(out):
+                yield out
+        state.update((sorted(seen),))
+
+    bucketed = pages.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 BLOOM_STATE_SCHEMA = "bits binary, m int, k int"
 
 
