@@ -199,6 +199,134 @@ def run_beam(
     return state.withColumn("corrected_words", best["words"]).drop("beams")
 
 
+_ECANDS_TYPE = (
+    "array<struct<pos:int,cands:array<struct<word:string,score:double,p:double>>,w_total:double>>"
+)
+
+
+def run_beam_fold(
+    detected: DataFrame,
+    cand_agg: DataFrame,
+    beam_width: int = BEAM_WIDTH,
+) -> DataFrame:
+    """The ENTIRE beam loop as ONE Catalyst expression — no driver loop.
+
+    run_beam pays one broadcast join + one plan-analysis round per GLOBAL
+    max error count (the lockstep weakness). Here the candidate batches
+    for every error of a document are attached ONCE (explode → one
+    broadcast equi-join → collect_list sorted by position), and the loop
+    becomes ``F.aggregate(ecands, initial_beam, step)`` — a left fold
+    evaluated at ROW level, so each document runs exactly its own number
+    of beam steps, there is a single shuffle (the per-doc collect), a
+    single plan, and no per-round checkpoints.  The step expression is a
+    verbatim copy of run_beam's round body (same ops, same left folds),
+    so floats are bit-identical — tested against run_beam and the
+    single-node oracle."""
+    state = detected.withColumn("_rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )  # _rid is materialized INTO the checkpoint → stable across the two scans below
+    e = state.select("_rid", F.explode("errors").alias("e"))
+    joined = e.join(
+        F.broadcast(cand_agg.withColumnRenamed("err_word", "cand_key")),
+        F.col("e.key") == F.col("cand_key"),
+        "left",
+    )
+    per_doc = joined.groupBy("_rid").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("e.pos").alias("pos"),
+                    F.col("cands").alias("cands"),
+                    F.col("w_total").alias("w_total"),
+                )
+            )
+        ).alias("ecands")
+    )
+    state = state.join(per_doc, "_rid", "left")
+
+    n = F.col("n").cast("double")
+
+    def beam_score(b):
+        return b["psum"] / n
+
+    def beam_text(b):
+        return F.concat_ws(" ", b["words"])
+
+    def step(beams, ec):
+        pos = ec["pos"]
+        cands = ec["cands"]
+        w_total = ec["w_total"]
+        pruned = F.slice(
+            F.array_sort(
+                beams,
+                lambda a, b: _cmp(beam_score(a), beam_text(a), beam_score(b), beam_text(b)),
+            ),
+            1,
+            beam_width,
+        )
+        sep = F.when(pos < F.col("n") - 1, F.lit(" ")).otherwise(F.lit(""))
+
+        def expand(b):
+            p_old = F.element_at(b["probs"], pos + 1)
+            with_psum = F.transform(
+                cands,
+                lambda c: F.struct(
+                    c["word"].alias("word"),
+                    c["score"].alias("score"),
+                    c["p"].alias("p"),
+                    (b["psum"] - p_old + c["p"]).alias("psum2"),
+                ),
+            )
+            s_total = F.aggregate(with_psum, F.lit(0.0), lambda acc, x: acc + x["psum2"] / n)
+            scored = F.transform(
+                with_psum,
+                lambda x: F.struct(
+                    (x["score"] / w_total + (x["psum2"] / n) / s_total).alias("total"),
+                    F.concat(x["word"], sep).alias("tie"),
+                    x["word"].alias("word"),
+                    x["p"].alias("p"),
+                    x["psum2"].alias("psum2"),
+                ),
+            )
+            top = F.slice(
+                F.array_sort(
+                    scored,
+                    lambda a, b2: _cmp(a["total"], a["tie"], b2["total"], b2["tie"]),
+                ),
+                1,
+                beam_width,
+            )
+            return F.transform(
+                top,
+                lambda t: F.struct(
+                    F.concat(
+                        F.slice(b["words"], 1, pos),
+                        F.array(t["word"]),
+                        F.slice(b["words"], pos + 2, F.col("n") - pos - 1),
+                    ).alias("words"),
+                    F.concat(
+                        F.slice(b["probs"], 1, pos),
+                        F.array(t["p"]),
+                        F.slice(b["probs"], pos + 2, F.col("n") - pos - 1),
+                    ).alias("probs"),
+                    t["psum2"].alias("psum"),
+                ),
+            )
+
+        return F.when(cands.isNull(), beams).otherwise(F.flatten(F.transform(pruned, expand)))
+
+    init = F.array(F.struct(F.col("words"), F.col("probs"), F.col("psum")))
+    final = F.aggregate(F.coalesce(F.col("ecands"), F.array().cast(_ECANDS_TYPE)), init, step)
+    best = F.element_at(
+        F.array_sort(
+            final,
+            lambda a, b: _cmp(beam_score(a), beam_text(a), beam_score(b), beam_text(b)),
+        ),
+        1,
+    )
+    return state.withColumn("corrected_words", best["words"]).drop("ecands", "_rid")
+
+
 def run_beam_tiered(
     detected: DataFrame,
     cand_agg: DataFrame,

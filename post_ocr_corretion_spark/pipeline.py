@@ -154,7 +154,17 @@ def run_pipeline_from_docs(
         err_words = distinct_error_words(detected)
         cand_agg = candidate_batches(err_words, lexicon_df, lex_del, scorer_bc, max_distance=max_distance).cache()
         cand_agg.count()  # materialize before the loop
-        corrected = run_beam(detected, cand_agg, max_rounds=max_rounds).drop(
+        if max_rounds is not None:
+            # round-truncation only exists on the lockstep loop
+            beamed = run_beam(detected, cand_agg, max_rounds=max_rounds)
+        else:
+            # default: the single-expression fold — one broadcast join,
+            # one shuffle, no driver loop (5.8× the lockstep at sf0.01,
+            # byte-identical; operators/correction.run_beam_fold)
+            from .operators.correction import run_beam_fold
+
+            beamed = run_beam_fold(detected, cand_agg)
+        corrected = beamed.drop(
             "words", "probs", "psum", "n", "errors"
         ).unionByName(passthrough)
     out_cols = ["url", "warc_ts", "lang", "doc_id", "kind", "extracted_text", "spans", "corrected_words"]

@@ -111,3 +111,43 @@ def test_run_beam_tiered_equals_run_beam(spark, docs_rows, fixture_lexicon, fixt
     # sanity: the fixture actually spans several tiers
     counts = [len(r.errors) for r in detected.select("errors").collect()]
     assert max(counts) > 4 and min(counts) >= 0
+
+
+def test_run_beam_fold_equals_lockstep(spark, docs_rows, fixture_lexicon, fixture_scorer):
+    """The single-expression fold beam (no driver loop) is byte-identical
+    to the lockstep loop on OCR-noised fixtures."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.datagen.webpages import ocr_noise_text
+    from post_ocr_corretion_spark.datagen.wordlist import COMMON_WORDS
+    from post_ocr_corretion_spark.operators.candidates import candidate_batches
+    from post_ocr_corretion_spark.operators.correction import (
+        distinct_error_words,
+        run_beam,
+        run_beam_fold,
+        with_detection,
+    )
+    from post_ocr_corretion_spark.operators.lexicon import build_lexicon, deletion_neighborhood
+
+    noisy = spark.createDataFrame(
+        [(i, ocr_noise_text(r["text"], i)) for i, r in enumerate(docs_rows[:40])],
+        "doc_id long, text string",
+    ).withColumn("extracted_text", F.col("text"))
+    clean = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(docs_rows[:40])], "doc_id long, text string"
+    )
+    lex_df = build_lexicon(spark, clean, COMMON_WORDS)
+    scorer_bc = spark.sparkContext.broadcast(fixture_scorer)
+    detected = with_detection(noisy, scorer_bc)
+    cand_agg = candidate_batches(
+        distinct_error_words(detected), lex_df, deletion_neighborhood(lex_df), scorer_bc
+    ).cache()
+    cand_agg.count()
+    # sanity: real errors present
+    assert detected.agg(F.max(F.size("errors"))).collect()[0][0] > 0
+    plain = {r.doc_id: r.corrected_words for r in run_beam(detected, cand_agg).collect()}
+    fold = {
+        r.doc_id: r.corrected_words
+        for r in run_beam_fold(detected, cand_agg).select("doc_id", "corrected_words").collect()
+    }
+    assert plain == fold
