@@ -898,6 +898,17 @@ def q_ntile_quartiles(spark, sf):
     )
 
 
+def q_flagship_catalyst(spark, sf):
+    """Rows-only: the no-Python catalyst mode (single-expression fold
+    beam, operators/correction.run_beam_fold) — byte-identity to the
+    oracle and to udf mode is pytest-gated (test_pipeline_parity)."""
+    from post_ocr_corretion_spark.pipeline import run_pipeline
+
+    return run_pipeline(spark, sf, mode="catalyst").select(
+        "url", "kind", "extracted_text", "corrected_text"
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -987,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_acctbal": q_tpch_q22_acctbal,
         "pivot_returnflag": q_pivot_returnflag,
         "ntile_quartiles": q_ntile_quartiles,
+        "flagship_catalyst": q_flagship_catalyst,
     }
 
 
