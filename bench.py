@@ -88,6 +88,9 @@ def main() -> None:
     if "--scaling" in sys.argv:
         run_scaling()
         return
+    if "--scaling-submit" in sys.argv:
+        run_scaling_submit()
+        return
 
     spark = get_spark(app_name="bench", cores=CPUS)
     # untimed warm-up at the smoke scale: JVM JIT, parquet reader, Python
@@ -211,6 +214,110 @@ def run_scaling() -> None:
     }
     print(json.dumps(out))
     _write_baseline_md(out)
+
+
+def run_scaling_submit() -> None:
+    """North-rule literal form: the SHIPPED job (spark-submit --py-files
+    jobs/run_extract_correct.py) run end-to-end at N and 4N cores on the
+    SAME replicated input, fresh snapshot dir each run. The job wall
+    includes a fixed cost (JVM startup + driver init + snapshot commit)
+    that a long-running cluster job amortizes to nothing, so per level we
+    ALSO run a calibration job on the tiny sf0.001 input and report both
+    the raw efficiency and the startup-adjusted one
+    (docs / (wall − calibration)). Appends to BENCH/BASELINE.md."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pyspark
+
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_SUBMIT_LEVELS", "2,8").split(",")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SUBMIT_SF", SF_DIR)
+    replicate = int(os.environ.get("SPARK_GRAFT_SUBMIT_REP", "24"))
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    workdir = tempfile.mkdtemp(prefix="bench_submit_")
+    pkg = os.path.join(workdir, "pkg.zip")
+    subprocess.run(["zip", "-qr", pkg, "post_ocr_corretion_spark"], check=True, cwd=repo)
+
+    def run_job(cores: int, sf: str, rep: int, tag: str) -> tuple[float, int]:
+        best, rows = None, 0
+        for attempt in range(2):  # best-of-2 (see run_headline note)
+            out_dir = os.path.join(workdir, f"out_{tag}_{attempt}")
+            t0 = time.time()
+            proc = subprocess.run(
+                [
+                    submit, "--master", f"local[{cores}]", "--py-files", pkg,
+                    "jobs/run_extract_correct.py", "--sf-dir", sf, "--out", out_dir,
+                    "--cores", str(cores), "--replicate", str(rep),
+                ],
+                capture_output=True, text=True, cwd=repo, check=True,
+            )
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+            rows = json.loads(proc.stdout.strip().splitlines()[-1])["rows"]
+        return best, rows
+
+    results = {}
+    n_docs = 0
+    for cores in levels:
+        cal, _ = run_job(cores, "/root/testdata/sf0.001", 1, f"cal{cores}")
+        wall, n_docs = run_job(cores, sf_dir, replicate, f"run{cores}")
+        marginal = max(wall - cal, 1e-6)
+        results[cores] = {
+            "sec": round(wall, 2),
+            "calibration_sec": round(cal, 2),
+            "docs_per_sec": round(n_docs / wall, 2),
+            "adj_docs_per_sec": round(n_docs / marginal, 2),
+        }
+    a, b = levels[0], levels[-1]
+
+    def eff(key):
+        return round(results[b][key] / (results[a][key] * (b / a)), 3)
+
+    out = {
+        "metric": "scaling_efficiency_spark_submit",
+        "value": eff("adj_docs_per_sec"),
+        "raw_value": eff("docs_per_sec"),
+        "unit": "ratio",
+        "levels": {str(k): v for k, v in results.items()},
+        "sf": _sf_of(sf_dir),
+        "docs": n_docs,
+        "note": "shipped job end-to-end; value = startup-adjusted (docs/(wall-calibration)), raw_value = uncorrected walls",
+    }
+    print(json.dumps(out))
+    with open("BENCH/BASELINE.md", "a") as f:
+        rows = "\n".join(
+            f"| local[{k}] | {v['sec']} | {v['calibration_sec']} | {v['docs_per_sec']} | {v['adj_docs_per_sec']} |"
+            for k, v in sorted(results.items())
+        )
+        f.write(
+            f"""
+
+## Shipped-job scaling (spark-submit, north-rule literal form)
+
+`spark-submit --py-files pkg.zip jobs/run_extract_correct.py` end to end
+(JVM startup + lexicon/scorer fit + extract+correct + snapshot-committed
+write) at two parallelism levels on {sf_dir} ×{replicate}
+({n_docs} docs), fresh snapshot dir per run, best-of-2. The fixed
+startup (JVM + driver init + commit; measured per level by a calibration
+run on the tiny sf0.001 input) amortizes to nothing on a long-running
+cluster job, so both the raw and the startup-adjusted efficiencies are
+reported:
+
+| parallelism | wall sec | calibration sec | docs/sec (raw) | docs/sec (adjusted) |
+|---|---|---|---|---|
+{rows}
+
+**{a} → {b} cores: adjusted efficiency {eff('adj_docs_per_sec')}
+(raw {eff('docs_per_sec')})** — the adjusted number is the shipped-job
+analog of the in-process steady-state measurement above.
+
+Reproduce: `python bench.py --scaling-submit`
+(SPARK_GRAFT_SUBMIT_LEVELS, SPARK_GRAFT_SUBMIT_SF, SPARK_GRAFT_SUBMIT_REP).
+"""
+        )
+    shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _write_baseline_md(out: dict) -> None:

@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="enable the reference's seeded roulette-wheel W2 selection",
     )
+    parser.add_argument(
+        "--replicate",
+        type=int,
+        default=1,
+        help="deterministically replicate the input ×N (doc_id + 10^7·k) — "
+        "scaling benchmarks; pages are pure functions of doc_id, so this IS "
+        "a larger instance of the same table",
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -66,15 +74,35 @@ def main(argv: list[str] | None = None) -> int:
     obs = Observation("counters")
 
     def job():
-        df = run_pipeline(
-            spark,
-            args.sf_dir,
-            mode=args.mode,
-            fit=args.fit,
-            max_distance=args.max_distance,
-            roulette_seed=args.roulette_seed,
-            spread=args.spread,
-        )
+        if args.replicate > 1:
+            from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
+            from post_ocr_corretion_spark.sources.webpages import read_documents
+
+            docs = (
+                read_documents(spark, args.sf_dir)
+                .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(args.replicate - 1))))
+                .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
+                .drop("k")
+            )
+            df = run_pipeline_from_docs(
+                spark,
+                docs,
+                mode=args.mode,
+                fit=args.fit,
+                max_distance=args.max_distance,
+                roulette_seed=args.roulette_seed,
+                spread=args.spread,
+            )
+        else:
+            df = run_pipeline(
+                spark,
+                args.sf_dir,
+                mode=args.mode,
+                fit=args.fit,
+                max_distance=args.max_distance,
+                roulette_seed=args.roulette_seed,
+                spread=args.spread,
+            )
         return df.observe(
             obs,
             F.count(F.lit(1)).alias("pages"),
