@@ -484,6 +484,25 @@ def q_dedup_minhash_lsh(spark, sf):
     return lsh_candidate_pairs(minhash_signatures(_shingles(spark, sf), n_hashes=4))
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive dedup: connected components over the MinHash-LSH pair
+    graph (distributed min-label propagation) → one canonical doc per
+    cluster. The step a real training-data pipeline needs beyond pair
+    lists — a~b and b~c must collapse to ONE kept doc."""
+    from post_ocr_corretion_spark.operators.dedup import (
+        dedup_keep_list,
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(_shingles(spark, sf), n_hashes=4)).select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    )
+    ids = _t(spark, sf, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    return dedup_keep_list(duplicate_clusters(pairs, ids))
+
+
 def q_dedup_simhash(spark, sf):
     from post_ocr_corretion_spark.operators.dedup import simhash_signatures
 
@@ -999,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": q_pivot_returnflag,
         "ntile_quartiles": q_ntile_quartiles,
         "flagship_catalyst": q_flagship_catalyst,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1531,6 +1551,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
             FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, i + 1, 5) AS sh
+              FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS i
+                    FROM documents WHERE doc_id < 100 AND length(text) >= 5)
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5(sh || 's1')) AS m1, min(md5(sh || 's2')) AS m2,
+                     min(md5(sh || 's3')) AS m3, min(md5(sh || 's4')) AS m4
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, m1 || m2 AS band FROM sig
+              UNION ALL SELECT doc_id, m3 || m4 AS band FROM sig
+            ), prs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), comp_t AS (
+              SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+            )
+            SELECT comp, min(doc_id) AS keep_doc, count(*) AS cluster_size
+            FROM comp_t GROUP BY comp
         """,
         "dedup_simhash": r"""
             WITH words AS (

@@ -104,3 +104,55 @@ def simhash_signatures(docs: DataFrame, bits: int = 16, text_col: str = "text", 
         .groupBy(id_col)
         .agg(F.concat_ws("", F.array_sort(F.collect_list(F.struct("b", "bit")))["bit"]).alias("simhash"))
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (doc_id, comp)
+    where comp = the smallest reachable id (the canonical representative).
+    Training-data dedup keeps ONE doc per component, not one per pair —
+    transitive duplicates (a~b, b~c) must collapse together.
+
+    Distributed min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    groupBy per round); converges in O(component diameter) rounds, loop
+    exits early via an aggregated change count. Deterministic (min is
+    order-independent). ``pairs`` needs columns (a, b); ``ids`` the node
+    set. Scale note: near-dup graphs are overwhelmingly short-diameter
+    (duplicate families), so diameter-bounded propagation is the right
+    default; for adversarial long chains the alternating
+    large-star/small-star contraction (Kiveris et al.) drops the round
+    count to O(log n) with the same per-round join shape."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        n_changed = new.agg(F.sum(F.col("changed").cast("int"))).collect()[0][0] or 0
+        labels = new.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
+def dedup_keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(comp, keep_doc, cluster_size): one canonical doc per component."""
+    return clusters.groupBy("comp").agg(
+        F.min(id_col).alias("keep_doc"), F.count(F.lit(1)).alias("cluster_size")
+    )
