@@ -928,6 +928,31 @@ def q_flagship_catalyst(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """TF-IDF top-3 terms per document (docs < 50): token counts →
+    document-frequency join → idf = ln(N / df) → window top-k with a
+    deterministic tie-break. Rounded to 6dp; the idf product is a single
+    double multiply, so both engines agree at that precision."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    n_docs = F.lit(50.0)
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = tokens.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("tf") * F.log(n_docs / F.col("df")), 6).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "w", "tfidf")
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -1019,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": q_ntile_quartiles,
         "flagship_catalyst": q_flagship_catalyst,
         "dedup_clusters": q_dedup_clusters,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1551,6 +1577,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
             FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents WHERE doc_id < 50
+              ) WHERE length(w) > 0
+            ), tf AS (
+              SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w
+            ), dfreq AS (
+              SELECT w, count(*) AS df FROM tf GROUP BY w
+            ), scored AS (
+              SELECT t.doc_id, t.w, round(t.tf * ln(50.0 / d.df), 6) AS tfidf
+              FROM tf t JOIN dfreq d USING (w)
+            )
+            SELECT doc_id, rnk, w, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk
+              FROM scored
+            ) WHERE rnk <= 3
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (
