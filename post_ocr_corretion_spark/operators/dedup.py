@@ -156,3 +156,60 @@ def dedup_keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return clusters.groupBy("comp").agg(
         F.min(id_col).alias("keep_doc"), F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+def _neighborhood_min_edges(edges: DataFrame, keep_larger: bool) -> DataFrame:
+    """One star round: per node u, m = min(Γ(u) ∪ {u}); large-star emits
+    (v, m) for the strictly larger neighbors, small-star emits (v, m)
+    for the smaller-or-equal neighbors PLUS the (u, m) self-link — the
+    self-link is what keeps u attached when all its neighbors are larger
+    (Kiveris et al., Alg. 2)."""
+    nbrs = edges.select(F.col("u"), F.col("v")).union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    j = nbrs.join(m, "u")
+    cond = F.col("v") > F.col("u") if keep_larger else F.col("v") <= F.col("u")
+    out = j.filter(cond).select(F.col("v").alias("u"), F.col("m").alias("v"))
+    if not keep_larger:
+        out = out.union(m.select(F.col("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame, ids: DataFrame, id_col: str = "doc_id", max_iters: int = 12
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log n) rounds instead of O(diameter), same per-round
+    join+groupBy shape as the propagation variant; the right choice when
+    adversarially long duplicate chains are possible at corpus scale.
+    Returns (doc_id, comp) with comp = component minimum; equality with
+    ``duplicate_clusters`` is property-tested on random graphs."""
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        ls = _neighborhood_min_edges(edges, keep_larger=True)
+        ss = _neighborhood_min_edges(ls, keep_larger=False).localCheckpoint(eager=True)
+        # fixpoint: the edge SET is stable (order-insensitive compare)
+        if (
+            ss.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(ss).limit(1).count() == 0
+        ):
+            edges = ss
+            break
+        edges = ss
+    # at the fixpoint every non-root node has an edge to its component
+    # minimum; roots (the minima) and singletons label themselves
+    root_of = edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).groupBy("id").agg(
+        F.min("comp").alias("comp")
+    )
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(root_of, "id", "left")
+        .select(F.col("id").alias(id_col), F.coalesce("comp", F.col("id")).alias("comp"))
+    )

@@ -27,3 +27,32 @@ def test_long_path_converges(spark):
     ids = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
     comp = {r.doc_id: r.comp for r in duplicate_clusters(pairs, ids, max_iters=40).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_star_contraction_equals_propagation(spark):
+    """The O(log n) large-star/small-star contraction labels every node
+    with the same component minimum as min-label propagation — checked on
+    assorted seeded random graphs plus the pathological long path."""
+    import random
+
+    from post_ocr_corretion_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    cases = []
+    for seed, n, m in [(1, 20, 10), (2, 30, 25), (3, 40, 60), (4, 15, 0)]:
+        rng = random.Random(seed)
+        pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        cases.append((n, pairs))
+    cases.append((30, [(i, i + 1) for i in range(29)]))  # long path
+
+    for n, pairs in cases:
+        ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pdf = spark.createDataFrame(pairs or [(0, 0)], "a long, b long")
+        if not pairs:
+            pdf = pdf.filter("a != b")  # empty edge set
+        prop = {r.doc_id: r.comp for r in duplicate_clusters(pdf, ids, max_iters=40).collect()}
+        star = {r.doc_id: r.comp for r in duplicate_clusters_star(pdf, ids).collect()}
+        assert prop == star, (n, len(pairs))
