@@ -953,6 +953,20 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def q_map_props(spark, sf):
+    """Map-typed column surface: parse props into map<string,int>, then
+    map_keys / element_at / size — the type family the JSON-string query
+    (json_props) doesn't exercise."""
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select("event_id", m.alias("m")).select(
+        "event_id",
+        F.size("m").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys"),
+        F.element_at("m", "k").alias("k_val"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Rows-only: real PNG/WAV decode (core/media.py — stdlib zlib/wave,
     all five PNG scanline filters) over the deterministic blob table via
@@ -1045,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_catalyst": q_flagship_catalyst,
         "dedup_clusters": q_dedup_clusters,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "map_props": q_map_props,
     }
 
 
@@ -1577,6 +1592,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
             FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        """,
+        "map_props": """
+            SELECT event_id,
+                   CAST(len(json_keys(props)) AS INT) AS n_keys,
+                   array_to_string(list_sort(json_keys(props)::VARCHAR[]), ',') AS keys,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+            FROM events
         """,
         "tfidf_top_terms": """
             WITH tok AS (
