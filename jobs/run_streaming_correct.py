@@ -29,6 +29,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--out", required=True)
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--lexicon-sf", default="/root/testdata/sf0.001")
+    parser.add_argument(
+        "--ttl-seconds",
+        type=int,
+        default=None,
+        help="sliding-window dedup state eviction (ts derived from warc_ts); "
+        "default: unbounded exact dedup",
+    )
     parser.add_argument("--available-now", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
@@ -58,7 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     pages = spark.readStream.schema(schema).parquet(args.src)
     # stateful dedup carries the FULL row through the state operator —
     # no stream-stream rejoin (which would need watermarks) required
-    deduped_pages = first_seen_pages(pages)
+    if args.ttl_seconds is not None:
+        with_ts = pages.withColumn("ts", F.unix_timestamp("warc_ts"))
+        deduped_pages = first_seen_pages(with_ts, ttl_seconds=args.ttl_seconds).drop("ts")
+    else:
+        deduped_pages = first_seen_pages(pages)
     extracted = extract(deduped_pages)
     enabled = (F.col("lang") == "en") & (~F.col("kind").isin("pdf_stub"))
     corrected = run_beam_udf(

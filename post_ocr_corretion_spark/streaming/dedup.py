@@ -81,17 +81,63 @@ def _make_ttl_dedup_fn(ttl_seconds: int):
     return fn
 
 
-def first_seen_pages(pages: DataFrame) -> DataFrame:
+def first_seen_pages(pages: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
     """Full-row form of ``first_seen_urls`` for streaming pipelines: the
     ENTIRE page row passes through the stateful operator (no
     stream-stream rejoin needed downstream); re-delivered urls are
     dropped within and across micro-batches. Output schema == input
-    schema."""
+    schema.  With ``ttl_seconds`` the input must carry a LONG ``ts``
+    column; state entries follow the same sliding-window eviction as the
+    url-only TTL variant (every sighting refreshes, expiry re-emits),
+    bounding state on unbounded feeds."""
     out_schema = pages.schema
+    names = [f.name for f in out_schema.fields]
+
+    if ttl_seconds is not None:
+
+        def ttl_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+            seen: dict[str, int] = (
+                dict(zip(state.get[0], state.get[1])) if state.exists else {}
+            )
+            horizon = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                batch_max = int(pdf["ts"].max())
+                horizon = (
+                    batch_max - ttl_seconds
+                    if horizon is None
+                    else max(horizon, batch_max - ttl_seconds)
+                )
+                seen = {u: t for u, t in seen.items() if t >= horizon}
+                mask = []
+                for url, ts in zip(pdf["url"], pdf["ts"]):
+                    ts = int(ts)
+                    if ts < horizon:
+                        mask.append(False)
+                        continue
+                    fresh = url not in seen
+                    mask.append(fresh)
+                    seen[url] = max(ts, seen.get(url, ts))
+                out = pdf.loc[mask, names]
+                if len(out):
+                    yield out
+            items = sorted(seen.items())
+            state.update(([u for u, _ in items], [t for _, t in items]))
+
+        bucketed = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+        )
+        return bucketed.groupBy("bucket").applyInPandasWithState(
+            ttl_fn,
+            outputStructType=out_schema,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
-        names = [f.name for f in out_schema.fields]
         for pdf in pdfs:
             mask = []
             for url in pdf["url"]:

@@ -140,3 +140,51 @@ def test_bloom_dedup_bounded_state_no_false_negatives(spark, tmp_path):
     out2 = [r.url for r in spark.read.parquet(sink).collect()]
     assert len(out2) == len(set(out2))  # no false negatives ever
     assert 45 <= len(out2) - len(out1) <= 50  # the new urls (minus fp losses)
+
+
+def test_full_row_ttl_dedup(spark, tmp_path):
+    """first_seen_pages with ttl: full rows pass through, within-window
+    repeats suppressed, expired urls re-emit with their payload."""
+    from post_ocr_corretion_spark.streaming.dedup import first_seen_pages
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    SCHEMA = "url string, ts long, payload string"
+
+    def drain():
+        q = (
+            first_seen_pages(
+                spark.readStream.schema(SCHEMA).parquet(src), ttl_seconds=100
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    urls = [f"https://h{i % 3}.example.com/q{i}" for i in range(30)]
+    spark.createDataFrame([(u, 1000, f"p-{u}") for u in urls], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    out1 = spark.read.parquet(sink).collect()
+    assert len(out1) == 30
+    assert all(r.payload == f"p-{r.url}" for r in out1)  # payload rides along
+
+    # inside the window: suppressed; after expiry: re-emitted
+    spark.createDataFrame([(u, 1050, "x") for u in urls[:10]], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert spark.read.parquet(sink).count() == 30
+    spark.createDataFrame([(u, 1300, "late") for u in urls[:10]], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    out3 = spark.read.parquet(sink).collect()
+    assert len(out3) == 40
+    assert sum(1 for r in out3 if r.payload == "late") == 10
