@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
         help="enable the reference's seeded roulette-wheel W2 selection",
     )
     parser.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated partition columns for the snapshot data (e.g. lang)",
+    )
+    parser.add_argument(
         "--replicate",
         type=int,
         default=1,
@@ -112,12 +117,15 @@ def main(argv: list[str] | None = None) -> int:
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
 
+    part = args.partition_by.split(",") if args.partition_by else None
     if args.new_snapshot and writer.latest() is not None:
         df = job()
-        sid = writer.write(df, key_col="url", counters_fn=counters_fn)
+        sid = writer.write(df, key_col="url", counters_fn=counters_fn, partition_by=part)
         resumed = False
     else:
-        df, resumed = writer.resume_or_run(spark, job, key_col="url", counters_fn=counters_fn)
+        df, resumed = writer.resume_or_run(
+            spark, job, key_col="url", counters_fn=counters_fn, partition_by=part
+        )
         sid = writer.latest()
 
     lineage = writer.read_lineage(spark, sid)

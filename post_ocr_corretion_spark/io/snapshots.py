@@ -78,12 +78,19 @@ class SnapshotWriter:
         key_col: str | None = None,
         counters: dict | None = None,
         counters_fn=None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """``counters_fn`` is evaluated AFTER the data write (use it to
-        read ``Observation.get``, which only resolves post-action)."""
+        read ``Observation.get``, which only resolves post-action).
+        ``partition_by`` writes hive-partitioned data under the snapshot
+        (the Iceberg partition-spec analog) — readers filtering on those
+        columns get partition pruning for free."""
         sid = self._claim_sid()
         data_path = os.path.join(self.base, "data", f"snapshot={sid}")
-        df.write.mode("overwrite").parquet(data_path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
         if counters_fn is not None:
             counters = dict(counters or {}, **counters_fn())
 
@@ -160,12 +167,17 @@ class SnapshotWriter:
         return added.unionByName(removed)
 
     def resume_or_run(
-        self, spark: SparkSession, job, key_col: str | None = None, counters_fn=None
+        self,
+        spark: SparkSession,
+        job,
+        key_col: str | None = None,
+        counters_fn=None,
+        partition_by: list[str] | None = None,
     ) -> tuple[DataFrame, bool]:
         """Returns (df, resumed). ``job() -> DataFrame`` runs only when no
         committed snapshot exists — the north-rule resume semantics."""
         if self.latest() is not None:
             return self.read(spark), True
         df = job()
-        sid = self.write(df, key_col=key_col, counters_fn=counters_fn)
+        sid = self.write(df, key_col=key_col, counters_fn=counters_fn, partition_by=partition_by)
         return self.read(spark, sid), False

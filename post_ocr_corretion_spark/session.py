@@ -60,6 +60,10 @@ def get_spark(
         # larger Arrow batches amortize the JVM↔Python transfer: measured
         # +17% on the fused extract+correct stage at 32 cores vs 2048
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # split large inputs so a partition's rows fit executor memory at
+        # target SF (the brief's maxPartitionBytes sizing; 128 MiB pairs
+        # with the shuffle-partition count above)
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

@@ -175,3 +175,28 @@ def test_extract_document_total_on_arbitrary_bytes(blob):
     text, spans, kind = extract_document(blob)
     assert kind in ("html", "pdf_fake", "pdf_real", "pdf_stub")
     assert isinstance(text, str) and isinstance(spans, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),
+            st.integers(min_value=0, max_value=700),
+            st.text(alphabet="ab c()\\%<>[]#", min_size=0, max_size=15),
+        ),
+        max_size=5,
+    )
+)
+def test_pdf_roundtrip_arbitrary_text(lines):
+    """PDF write→parse round-trips arbitrary text payloads (parens,
+    backslashes, PDF delimiter chars) and recovers (y desc, x asc)
+    reading order."""
+    from post_ocr_corretion_spark.core.pdf import build_simple_pdf, extract_pdf_real
+
+    placed = [(float(x), float(y), t) for x, y, t in lines]
+    pdf = build_simple_pdf(placed)
+    text, spans = extract_pdf_real(pdf)
+    ordered = sorted(placed, key=lambda p: (-p[1], p[0]))
+    assert text == "\n".join(t for _, _, t in ordered)
+    assert len(spans) == len([1 for _ in placed])

@@ -104,3 +104,24 @@ def test_snapshot_diff_changelog(spark, tmp_path):
     s2 = w.write(spark.createDataFrame([(k,) for k in "bcde"], "k string"), key_col="k")
     got = {(r.key, r.change) for r in w.diff(spark, s1, s2, "k").collect()}
     assert got == {("e", "added"), ("a", "removed")}
+
+
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    """partition_by writes hive-partitioned snapshot data; a reader
+    filtering on the partition column shows partition pruning in the
+    plan and rows are intact."""
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    w = SnapshotWriter(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"t{i}") for i in range(90)],
+        "doc_id long, lang string, text string",
+    )
+    sid = w.write(df, key_col="doc_id", partition_by=["lang"])
+    back = w.read(spark, sid)
+    assert back.count() == 90
+    en = back.filter(back.lang == "en")
+    assert en.count() == 30
+    plan = formatted_plan(en)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
