@@ -286,6 +286,16 @@ def run_scaling_submit() -> None:
         "note": "shipped job end-to-end; value = startup-adjusted (docs/(wall-calibration)), raw_value = uncorrected walls",
     }
     print(json.dumps(out))
+    # replace (not duplicate) any previous shipped-job section
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        i = old.find("\n## Shipped-job scaling")
+        if i != -1:
+            with open("BENCH/BASELINE.md", "w") as f:
+                f.write(old[:i].rstrip() + "\n")
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "a") as f:
         rows = "\n".join(
             f"| local[{k}] | {v['sec']} | {v['calibration_sec']} | {v['docs_per_sec']} | {v['adj_docs_per_sec']} |"
@@ -363,8 +373,19 @@ Reproduce: `python bench.py --scaling` (env: SPARK_GRAFT_SF_DIR,
 SPARK_GRAFT_CPUS, SPARK_GRAFT_SCALE_REP, SPARK_GRAFT_SCALE_LEVELS).
 """
     os.makedirs("BENCH", exist_ok=True)
+    # preserve any shipped-job section a previous --scaling-submit wrote
+    # (this rewrite replaces only the in-process part)
+    extra = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        i = old.find("\n## Shipped-job scaling")
+        if i != -1:
+            extra = "\n" + old[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+        f.write(md + extra)
 
 
 if __name__ == "__main__":

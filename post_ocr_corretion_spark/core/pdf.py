@@ -32,7 +32,11 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+# tempered match: params = the INNERMOST dict directly preceding the
+# stream keyword (cannot span across objects or contain nested dicts) —
+# a stream whose dict nests another dict (/DecodeParms …) simply doesn't
+# match, and the count cross-check below turns that into a loud refusal
+_STREAM_RE = re.compile(rb"<<((?:(?!<<|>>).)*)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
 _TEXT_OP_RE = re.compile(
     r"""
     (?P<num1>-?[\d.]+)\s+(?P<num2>-?[\d.]+)\s+(?P<mv>Td|TD)
@@ -64,11 +68,23 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
         raise ValueError("not a PDF")
     if b"/Encrypt" in pdf_bytes:
         raise ValueError("encrypted PDF not supported")
+    matches = list(_STREAM_RE.finditer(pdf_bytes))
+    if len(matches) != pdf_bytes.count(b"endstream"):
+        # some stream's dict didn't parse as a flat innermost dict
+        # (nested /DecodeParms etc.) — refuse rather than half-parse
+        raise ValueError("unsupported stream dictionary shape")
     streams: list[bytes] = []
-    for m in _STREAM_RE.finditer(pdf_bytes):
+    for m in matches:
         params, data = m.group(1), m.group(2)
-        if data.endswith(b"\n") or data.endswith(b"\r"):
-            data = data.rstrip(b"\r\n")
+        # slice by the authoritative /Length — EOL-guessing before
+        # 'endstream' corrupts compressed data whose last bytes happen to
+        # be \n or \r
+        if re.search(rb"/Length\s+\d+\s+\d+\s+R", params):
+            raise ValueError("indirect /Length not supported")
+        lm = re.search(rb"/Length\s+(\d+)", params)
+        if not lm:
+            raise ValueError("stream without /Length")
+        data = data[: int(lm.group(1))]
         if b"/FlateDecode" in params:
             try:
                 data = zlib.decompress(data)
@@ -85,6 +101,17 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
         raise ValueError("composite fonts not supported")
 
     content = b"\n".join(streams).decode("utf-8", errors="replace")
+    # constructs the minimal subset does NOT cover must fail loudly (the
+    # caller stubs honestly) instead of yielding silently wrong text:
+    if re.search(r"<[0-9A-Fa-f\s]*>\s*(Tj|TJ)", content) or re.search(
+        r"\[[^\]]*<[0-9A-Fa-f\s]*>[^\]]*\]\s*TJ", content
+    ):
+        raise ValueError("hex strings not supported")
+    for lm in _LIT_RE.finditer(content):
+        # tokenize pairwise (an escaped backslash consumes BOTH chars) —
+        # the whole literal must be composed of supported tokens
+        if not re.match(r"(?:\\[()\\]|[^\\])*\Z", lm.group(1)):
+            raise ValueError("unsupported literal-string escape")
     items: list[tuple[float, float, str, int, int]] = []
     x = y = 0.0
     for m in _TEXT_OP_RE.finditer(content):

@@ -377,10 +377,18 @@ def _worker_fns(scorer, lexicon, max_distance: int):
         prob_cache: dict[str, float] = {}
         cand_cache: dict[str, list] = {}
         delidx_box: list = [None]  # built lazily on the first candidate miss
+        # bound the memoization for UNBOUNDED streams (the continuous
+        # crawl job): real corpora have vocabulary-bounded error words, but
+        # adversarial/garbled feeds do not — clear-on-cap keeps worker
+        # memory finite at a tiny amortized recompute cost (values are
+        # pure functions, so eviction never changes results)
+        PROB_CAP, CAND_CAP = 2_000_000, 200_000
 
         def prob_fn(w: str) -> float:
             p = prob_cache.get(w)
             if p is None:
+                if len(prob_cache) >= PROB_CAP:
+                    prob_cache.clear()
                 p = scorer.word_prob(w)
                 prob_cache[w] = p
             return p
@@ -390,6 +398,8 @@ def _worker_fns(scorer, lexicon, max_distance: int):
             if batch is None:
                 if delidx_box[0] is None:
                     delidx_box[0] = build_deletion_index(lexicon)
+                if len(cand_cache) >= CAND_CAP:
+                    cand_cache.clear()
                 batch = candidate_batch(w, scorer, lexicon, max_distance, delidx=delidx_box[0])
                 cand_cache[w] = batch
             return batch

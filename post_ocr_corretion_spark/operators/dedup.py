@@ -148,6 +148,14 @@ def duplicate_clusters(
         labels = new.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # exhausting max_iters without convergence would silently split
+        # components (labels stuck at intermediate minima) — refuse
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            "use duplicate_clusters_star (O(log n) rounds)"
+        )
     return labels.select(F.col("id").alias(id_col), "comp")
 
 

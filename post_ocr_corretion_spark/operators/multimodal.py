@@ -55,13 +55,25 @@ def decode_image(media: bytes, strict: bool = False) -> tuple[np.ndarray, str]:
     libs); other formats (JPEG, video containers) need codecs absent from
     this container: strict=True raises, the default returns the
     md5-seeded deterministic fake tagged ``decoder='fake'``."""
+    import struct
+    import wave
+    import zlib
+
     from ..core import media as M
 
-    if media[:8] == M.PNG_SIG:
-        return M.image_features(M.decode_png(media)), "png"
-    if media[:4] == b"RIFF" and media[8:12] == b"WAVE":
-        samples, rate = M.decode_wav(media)
-        return M.audio_features(samples, rate), "wav"
+    # corrupt real-format bytes (truncated PNG, bad Flate, short WAV)
+    # must degrade to the labeled fallback, not kill the Spark task
+    try:
+        if media[:8] == M.PNG_SIG:
+            return M.image_features(M.decode_png(media)), "png"
+        if media[:4] == b"RIFF" and media[8:12] == b"WAVE":
+            samples, rate = M.decode_wav(media)
+            return M.audio_features(samples, rate), "wav"
+    # stdlib wave/chunk raise bare RuntimeError on truncated files
+    except (ValueError, struct.error, zlib.error, wave.Error, EOFError, IndexError, RuntimeError) as e:
+        if strict:
+            raise ValueError(f"corrupt media bytes: {e}") from e
+        # fall through to the labeled fake
     if strict:
         raise NotImplementedError(
             "only PNG/WAV decode is implementable without external media libraries"

@@ -33,132 +33,78 @@ N_BUCKETS = 64
 
 OUTPUT_SCHEMA = "url string, bucket int"
 STATE_SCHEMA = "seen array<string>"
-
-
-def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    fresh: list[str] = []
-    for pdf in pdfs:
-        for url in pdf["url"]:
-            if url not in seen:
-                seen.add(url)
-                fresh.append(url)
-    state.update((sorted(seen),))
-    yield pd.DataFrame({"url": fresh, "bucket": [key[0]] * len(fresh)})
-
-
 TTL_STATE_SCHEMA = "seen array<string>, ts array<long>"
 
 
-def _make_ttl_dedup_fn(ttl_seconds: int):
+def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
+    """One parameterized state function serves the url-only and full-row
+    variants (previously two hand-maintained copies). The group's chunks
+    are BUFFERED and combined before any decision: the TTL horizon is
+    computed from the true batch maximum and per-url decisions are made
+    setwise, then a canonical representative row is chosen by a full-row
+    sort — so the emitted ROW SET is a pure function of the micro-batch's
+    row multiset, independent of Arrow chunk arrival order (checkpoint
+    replays reproduce it exactly)."""
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        seen: dict[str, int] = (
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+
+        if ttl_seconds is None:
+            seen = set(state.get[0]) if state.exists else set()
+            reps = batch.sort_values(names, kind="mergesort").drop_duplicates("url", keep="first")
+            out = reps.loc[[u not in seen for u in reps["url"]], names]
+            seen.update(batch["url"])
+            state.update((sorted(seen),))
+            if len(out):
+                yield out
+            return
+
+        seen_ts: dict[str, int] = (
             dict(zip(state.get[0], state.get[1])) if state.exists else {}
         )
-        fresh: list[tuple[str, int]] = []
-        horizon = None
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            batch_max = int(pdf["ts"].max())
-            horizon = batch_max - ttl_seconds if horizon is None else max(horizon, batch_max - ttl_seconds)
-            # evict expired entries BEFORE the membership checks so a url
-            # re-delivered after the window counts as first-seen again
-            seen = {u: t for u, t in seen.items() if t >= horizon}
-            for url, ts in zip(pdf["url"], pdf["ts"]):
-                ts = int(ts)
-                if ts < horizon:
-                    continue  # older than the window itself: drop
-                if url not in seen:
-                    fresh.append((url, ts))
-                seen[url] = max(ts, seen.get(url, ts))  # every sighting refreshes
-        items = sorted(seen.items())
+        horizon = int(batch["ts"].max()) - ttl_seconds
+        # evict expired entries BEFORE membership checks so a url
+        # re-delivered after the window counts as first-seen again
+        seen_ts = {u: t for u, t in seen_ts.items() if t >= horizon}
+        in_window = batch[batch["ts"] >= horizon]
+        reps = in_window.sort_values(names, kind="mergesort").drop_duplicates("url", keep="last")
+        out = reps.loc[[u not in seen_ts for u in reps["url"]], names]
+        for u, t in zip(in_window["url"], in_window["ts"]):
+            t = int(t)
+            seen_ts[u] = max(t, seen_ts.get(u, t))  # every sighting refreshes
+        items = sorted(seen_ts.items())
         state.update(([u for u, _ in items], [t for _, t in items]))
-        yield pd.DataFrame(
-            {"url": [u for u, _ in fresh], "bucket": [key[0]] * len(fresh), "ts": [t for _, t in fresh]}
-        )
+        if len(out):
+            yield out
 
     return fn
 
 
 def first_seen_pages(pages: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
-    """Full-row form of ``first_seen_urls`` for streaming pipelines: the
-    ENTIRE page row passes through the stateful operator (no
-    stream-stream rejoin needed downstream); re-delivered urls are
-    dropped within and across micro-batches. Output schema == input
-    schema.  With ``ttl_seconds`` the input must carry a LONG ``ts``
-    column; state entries follow the same sliding-window eviction as the
-    url-only TTL variant (every sighting refreshes, expiry re-emits),
+    """Full-row dedup for streaming pipelines: the ENTIRE page row passes
+    through the stateful operator (no stream-stream rejoin needed
+    downstream); re-delivered urls are dropped within and across
+    micro-batches. Output schema == input schema.  With ``ttl_seconds``
+    the input must carry a LONG ``ts`` column; state entries follow the
+    sliding-window eviction (every sighting refreshes, expiry re-emits),
     bounding state on unbounded feeds."""
     out_schema = pages.schema
     names = [f.name for f in out_schema.fields]
-
-    if ttl_seconds is not None:
-
-        def ttl_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-            seen: dict[str, int] = (
-                dict(zip(state.get[0], state.get[1])) if state.exists else {}
-            )
-            horizon = None
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
-                batch_max = int(pdf["ts"].max())
-                horizon = (
-                    batch_max - ttl_seconds
-                    if horizon is None
-                    else max(horizon, batch_max - ttl_seconds)
-                )
-                seen = {u: t for u, t in seen.items() if t >= horizon}
-                mask = []
-                for url, ts in zip(pdf["url"], pdf["ts"]):
-                    ts = int(ts)
-                    if ts < horizon:
-                        mask.append(False)
-                        continue
-                    fresh = url not in seen
-                    mask.append(fresh)
-                    seen[url] = max(ts, seen.get(url, ts))
-                out = pdf.loc[mask, names]
-                if len(out):
-                    yield out
-            items = sorted(seen.items())
-            state.update(([u for u, _ in items], [t for _, t in items]))
-
-        bucketed = pages.withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
-        )
-        return bucketed.groupBy("bucket").applyInPandasWithState(
-            ttl_fn,
-            outputStructType=out_schema,
-            stateStructType=TTL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            mask = []
-            for url in pdf["url"]:
-                if url not in seen:
-                    seen.add(url)
-                    mask.append(True)
-                else:
-                    mask.append(False)
-            out = pdf.loc[mask, names]
-            if len(out):
-                yield out
-        state.update((sorted(seen),))
-
     bucketed = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
-        fn,
+        _make_first_seen_fn(names, ttl_seconds),
         outputStructType=out_schema,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA if ttl_seconds is not None else STATE_SCHEMA,
         outputMode="append",
+        # NoTimeout: per-entry eviction alone bounds TTL state (each
+        # bucket holds only its last ttl window of urls); a group-level
+        # ProcessingTimeTimeout makes availableNow-triggered drains spin
+        # on "cleaning up state" batches until the wall-clock timeout
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
@@ -212,31 +158,11 @@ def first_seen_urls_bloom(
 
 
 def first_seen_urls(pages: DataFrame, ttl_seconds: int | None = None) -> DataFrame:
-    """Streaming DataFrame (url, ...) → rows for first-seen urls only.
-    With ``ttl_seconds`` the input must carry a LONG ``ts`` column (epoch
-    seconds); state is bounded to urls seen within the sliding window."""
-    if ttl_seconds is not None:
-        bucketed = pages.select("url", "ts").withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
-        )
-        return bucketed.groupBy("bucket").applyInPandasWithState(
-            _make_ttl_dedup_fn(ttl_seconds),
-            outputStructType="url string, bucket int, ts long",
-            stateStructType=TTL_STATE_SCHEMA,
-            outputMode="append",
-            # NoTimeout: per-entry eviction alone bounds the state (each
-            # bucket holds only its last ttl window of urls); a group-level
-            # ProcessingTimeTimeout makes availableNow-triggered drains spin
-            # on "cleaning up state" batches until the wall-clock timeout
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    bucketed = pages.select("url").withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
-    )
-    return bucketed.groupBy("bucket").applyInPandasWithState(
-        _dedup_fn,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    """Streaming DataFrame (url, ...) → rows for first-seen urls only —
+    the url-projection of ``first_seen_pages`` (one shared state fn);
+    the bucket column is re-derived post-hoc (a pure function of url).
+    With ``ttl_seconds`` the input must carry a LONG ``ts`` column."""
+    cols = ["url"] if ttl_seconds is None else ["url", "ts"]
+    out = first_seen_pages(pages.select(*cols), ttl_seconds=ttl_seconds)
+    out = out.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int"))
+    return out.select("url", "bucket") if ttl_seconds is None else out.select("url", "bucket", "ts")

@@ -56,3 +56,16 @@ def test_star_contraction_equals_propagation(spark):
         prop = {r.doc_id: r.comp for r in duplicate_clusters(pdf, ids, max_iters=40).collect()}
         star = {r.doc_id: r.comp for r in duplicate_clusters_star(pdf, ids).collect()}
         assert prop == star, (n, len(pairs))
+
+
+def test_unconverged_propagation_raises(spark):
+    """Exhausting max_iters below the component diameter must raise, not
+    silently return split components."""
+    import pytest as _pytest
+
+    from post_ocr_corretion_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, ids, max_iters=3)

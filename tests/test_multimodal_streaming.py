@@ -183,3 +183,20 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in windowed_counts(spark.read.parquet(f"{sf}/events.parquet")).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_corrupt_real_format_bytes_fall_back_not_crash():
+    """Truncated/garbage PNG or WAV bytes must degrade to the labeled
+    'fake' decoder (or raise ONLY under strict), never kill the task."""
+    import pytest as _pytest
+
+    from post_ocr_corretion_spark.core.media import PNG_SIG
+
+    bad_png = PNG_SIG + b"\x00\x01garbage-not-chunks"
+    feats, dec = decode_image(bad_png)
+    assert dec == "fake" and len(feats) == FEATURE_DIM
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEjunkjunk"
+    feats2, dec2 = decode_image(bad_wav)
+    assert dec2 == "fake"
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_image(bad_png, strict=True)

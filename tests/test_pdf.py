@@ -102,3 +102,25 @@ def test_real_pdf_flows_through_spark_pipeline(spark):
     assert len(rows) == 1
     assert rows[0].kind == "pdf_real"
     assert rows[0].extracted_text == "the cat sat\non the mat"
+
+
+def test_unsupported_constructs_stub_honestly():
+    """Hex strings, nested stream dicts, exotic escapes, indirect /Length
+    — all must land on pdf_stub, never a silent half-parse."""
+    from post_ocr_corretion_spark.core.extraction import extract_document
+
+    def raw_pdf(content: bytes, params: bytes = None) -> bytes:
+        params = params if params is not None else b"<< /Length " + str(len(content)).encode() + b" >>"
+        return b"%PDF-1.4\n1 0 obj\n" + params + b"\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+
+    hexstr = raw_pdf(b"BT 1 0 0 1 10 10 Tm <48656C6C6F> Tj ET")
+    assert extract_document(hexstr)[2] == "pdf_stub"
+    esc = raw_pdf(b"BT 1 0 0 1 10 10 Tm (line\\n) Tj ET")
+    assert extract_document(esc)[2] == "pdf_stub"
+    nested = raw_pdf(
+        b"BT (x) Tj ET",
+        b"<< /Length 12 /DecodeParms << /Columns 4 >> >>",
+    )
+    assert extract_document(nested)[2] == "pdf_stub"
+    indirect = raw_pdf(b"BT (x) Tj ET", b"<< /Length 6 0 R >>")
+    assert extract_document(indirect)[2] == "pdf_stub"

@@ -188,3 +188,48 @@ def test_full_row_ttl_dedup(spark, tmp_path):
     out3 = spark.read.parquet(sink).collect()
     assert len(out3) == 40
     assert sum(1 for r in out3 if r.payload == "late") == 10
+
+
+def test_state_fn_is_chunk_order_independent():
+    """The state function's decisions are a pure function of the
+    micro-batch row multiset — identical output rows and state no matter
+    how Arrow splits or orders the chunks (checkpoint-replay
+    determinism)."""
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.dedup import _make_first_seen_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.value = None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+            self.exists = True
+
+    rows = [("u1", 100, "a"), ("u2", 300, "b"), ("u1", 250, "c"), ("u3", 299, "d")]
+    cols = ["url", "ts", "payload"]
+
+    def run(chunking):
+        fn = _make_first_seen_fn(cols, ttl_seconds=100)
+        st = FakeState()
+        chunks = [pd.DataFrame(c, columns=cols) for c in chunking]
+        out = list(fn((0,), iter(chunks), st))
+        emitted = sorted(
+            tuple(r) for df in out for r in df.itertuples(index=False, name=None)
+        )
+        return emitted, st.value
+
+    a = run([rows[:2], rows[2:]])
+    b = run([rows[2:], rows[:2]])
+    c = run([[r] for r in reversed(rows)])
+    assert a == b == c
+    # horizon = 300-100 = 200 → u1@100 out of window, u1@250 in; all of
+    # u1/u2/u3 emit exactly once with a deterministic representative row
+    urls = [t[0] for t in a[0]]
+    assert sorted(urls) == ["u1", "u2", "u3"]
