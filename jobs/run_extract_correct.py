@@ -37,6 +37,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--max-distance", type=int, default=1, choices=[1, 2])
     parser.add_argument(
+        "--sidecar-path",
+        default=None,
+        help="shared-storage dir for the lexicon sidecar (required on multi-node "
+        "clusters unless spark.post_ocr.sidecarDir is set; executors must be able "
+        "to read it)",
+    )
+    parser.add_argument(
+        "--bloom-threshold",
+        type=int,
+        default=None,
+        help="vocabulary count above which the distributed fit switches to "
+        "Bloom membership (default pipeline.AUTO_BLOOM_VOCAB_THRESHOLD)",
+    )
+    parser.add_argument(
         "--spread",
         choices=["hash", "range"],
         default="hash",
@@ -97,6 +111,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_distance=args.max_distance,
                 roulette_seed=args.roulette_seed,
                 spread=args.spread,
+                sidecar_path=args.sidecar_path,
+                bloom_threshold=args.bloom_threshold,
             )
         else:
             df = run_pipeline(
@@ -107,6 +123,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_distance=args.max_distance,
                 roulette_seed=args.roulette_seed,
                 spread=args.spread,
+                sidecar_path=args.sidecar_path,
+                bloom_threshold=args.bloom_threshold,
             )
         return df.observe(
             obs,

@@ -67,12 +67,20 @@ def roulette_select(items: list, k: int, eval_fn, rng) -> list:
     sampling without replacement).  One pinned divergence: when the draw
     lands beyond the last cumulative value (float rounding at r→1), the
     reference's _roulette_spin returns None and crashes on
-    ``sample.remove``; we take the last element instead."""
+    ``sample.remove``; we take the last element instead.  A second pinned
+    divergence (ADVICE r2): when the remaining weights sum to ≤ 0 (e.g.
+    all-zero word probabilities), renormalizing would divide by zero (the
+    reference crashes before its rng draw) — we take the remaining items
+    in sorted order instead, consuming no draws (weights are ≥ 0, so once
+    the total hits 0 it stays 0 and no later draw exists to misalign)."""
     sample = sorted(items, key=eval_fn, reverse=True)
     out: list = []
     while len(out) < k and sample:
         vals = [eval_fn(e) for e in sample]
         total = sum(vals)
+        if total <= 0:
+            out.append(sample.pop(0))
+            continue
         r = rng.random()
         cum = 0.0
         pick = None

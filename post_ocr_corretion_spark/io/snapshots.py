@@ -114,7 +114,13 @@ class SnapshotWriter:
             "data_path": data_path,
             "lineage_path": lineage_path,
             "committed_at": time.time(),
-            "schema": written.schema.simpleString(),
+            "schema": df.schema.simpleString(),
+            # the PRE-write schema, pinned (ADVICE r2): hive partition
+            # inference on readback moves partition columns to the end and
+            # re-infers numeric-looking strings as ints; read() applies
+            # this so resumed DataFrames match the fresh-run branch
+            # column-for-column and dtype-for-dtype.
+            "schema_json": df.schema.json(),
             "counters": counters or {},  # job-level counters travel WITH the commit
         }
         tmp = os.path.join(self.base, "_snapshots", f".{sid}.json.tmp")
@@ -129,7 +135,17 @@ class SnapshotWriter:
         sid = snapshot_id if snapshot_id is not None else self.latest()
         if sid is None or sid not in self.committed_snapshots():
             raise FileNotFoundError(f"no committed snapshot {snapshot_id!r} under {self.base}")
-        return spark.read.parquet(self.manifest(sid)["data_path"])
+        m = self.manifest(sid)
+        schema_json = m.get("schema_json")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            pinned = StructType.fromJson(json.loads(schema_json))
+            # .schema() pins partition-column dtypes; the select pins order
+            return spark.read.schema(pinned).parquet(m["data_path"]).select(
+                *[f.name for f in pinned.fields]
+            )
+        return spark.read.parquet(m["data_path"])
 
     def read_lineage(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         sid = snapshot_id if snapshot_id is not None else self.latest()

@@ -397,10 +397,20 @@ def _worker_fns(scorer, lexicon, max_distance: int):
             batch = cand_cache.get(w)
             if batch is None:
                 if delidx_box[0] is None:
-                    delidx_box[0] = build_deletion_index(lexicon)
+                    # a Bloom-backed lexicon (pipeline auto-switch above
+                    # the vocab threshold) is membership-only — no word
+                    # list to index, so candidate generation falls back to
+                    # probing deletion variants (core/candidates.
+                    # distance1_matches); False marks "checked, not
+                    # buildable" so we probe only once
+                    delidx_box[0] = (
+                        build_deletion_index(lexicon) if hasattr(lexicon, "__iter__") else False
+                    )
                 if len(cand_cache) >= CAND_CAP:
                     cand_cache.clear()
-                batch = candidate_batch(w, scorer, lexicon, max_distance, delidx=delidx_box[0])
+                batch = candidate_batch(
+                    w, scorer, lexicon, max_distance, delidx=delidx_box[0] or None
+                )
                 cand_cache[w] = batch
             return batch
 

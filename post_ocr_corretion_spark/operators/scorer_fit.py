@@ -78,6 +78,31 @@ def distributed_bloom_positions(lexicon: DataFrame, m_bits: int, k: int) -> Data
     return lexicon.select(F.explode(hashes).alias("pos")).distinct()
 
 
+def resolve_sidecar_path(spark: SparkSession, prefix: str = "lexicon_sidecar") -> str | None:
+    """Pick a sidecar location EXECUTORS CAN READ (ADVICE r2: a
+    driver-local tempdir is invisible to executors on a multi-node
+    cluster).  Resolution order:
+
+    1. ``spark.post_ocr.sidecarDir`` conf (or an explicit job flag that
+       sets it) — shared storage (HDFS/S3/NFS); a unique subdir is
+       returned so concurrent jobs never collide;
+    2. local[*] master — the driver FS IS the executor FS, so a fresh
+       driver tempdir is safe;
+    3. otherwise ``None`` — callers MUST fall back to a driver-side fit
+       rather than ship a path executors cannot open.
+    """
+    base = spark.conf.get("spark.post_ocr.sidecarDir", None)
+    if base:
+        import uuid
+
+        return f"{base.rstrip('/')}/{prefix}_{uuid.uuid4().hex}"
+    if spark.sparkContext.master.startswith("local"):
+        import tempfile
+
+        return tempfile.mkdtemp(prefix=f"{prefix}_")
+    return None
+
+
 _SIDECAR_CACHE: dict[str, frozenset] = {}
 
 
@@ -198,7 +223,14 @@ def scorer_from_spark(
     documented fpp trade, see core/bloom.py)."""
     counts = counts_matrix(bigram_counts(lexicon))
     if not use_bloom:
-        side = write_lexicon_sidecar(lexicon, sidecar_path)
+        path = sidecar_path or resolve_sidecar_path(spark)
+        if path is None:
+            raise ValueError(
+                "exact sidecar membership needs a location executors can read: "
+                "set spark.post_ocr.sidecarDir or pass sidecar_path "
+                "(or use_bloom=True, which ships no files)"
+            )
+        side = write_lexicon_sidecar(lexicon, path)
         return NGramScorer(frozenset(), membership=side, counts=counts)
     n = lexicon.count()
     import math

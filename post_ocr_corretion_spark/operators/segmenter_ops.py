@@ -62,16 +62,31 @@ class SidecarSegmenter:
         return (SidecarSegmenter, (self.path,))
 
 
-def build_segmenter_broadcast(spark: SparkSession, docs: DataFrame, fit: str = "distributed"):
+def build_segmenter_broadcast(
+    spark: SparkSession, docs: DataFrame, fit: str = "distributed", sidecar_path: str | None = None
+):
     """``fit='distributed'`` (default): the unigram table rides a parquet
     sidecar, loaded lazily per worker — the driver never materializes the
-    vocabulary. ``fit='driver'``: the round-1 collect() path."""
+    vocabulary. ``fit='driver'``: the round-1 collect() path.  The sidecar
+    location follows scorer_fit.resolve_sidecar_path (shared-storage conf
+    → local tempdir → driver-fit fallback on non-local masters whose
+    executors could not read a driver tempdir; ADVICE r2)."""
     if fit == "driver":
         counts = {r.word: r.freq for r in corpus_word_frequencies(docs).collect()}
         return spark.sparkContext.broadcast(ViterbiSegmenter(counts))
-    import tempfile
+    from .scorer_fit import resolve_sidecar_path
 
-    path = tempfile.mkdtemp(prefix="segmenter_sidecar_")
+    path = sidecar_path or resolve_sidecar_path(spark, prefix="segmenter_sidecar")
+    if path is None:
+        import warnings
+
+        warnings.warn(
+            "no shared sidecar location on a non-local master "
+            "(set spark.post_ocr.sidecarDir); falling back to the driver fit",
+            stacklevel=2,
+        )
+        counts = {r.word: r.freq for r in corpus_word_frequencies(docs).collect()}
+        return spark.sparkContext.broadcast(ViterbiSegmenter(counts))
     corpus_word_frequencies(docs).write.mode("overwrite").parquet(path)
     return spark.sparkContext.broadcast(SidecarSegmenter(path))
 

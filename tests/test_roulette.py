@@ -81,3 +81,20 @@ def test_spark_roulette_matches_python_oracle(spark, docs_rows, fixture_lexicon,
     for t in texts:
         want = correct_sentence(t, fixture_scorer, fixture_lexicon, rng=roulette_rng(123, t))
         assert by_text[t] == want, t
+
+
+def test_roulette_all_zero_weights_no_crash():
+    """ADVICE r2: all-zero weights must not divide by zero — remaining
+    items come back in sorted(list-order-stable) order."""
+    items = [("b", 0.0), ("a", 0.0), ("c", 0.0)]
+    out = roulette_select(items, 2, lambda t: t[1], random.Random(3))
+    assert out == [("b", 0.0), ("a", 0.0)]  # stable sort keeps list order
+
+
+def test_roulette_weights_decay_to_zero_mid_selection():
+    """One positive weight then zeros: the positive item is always drawn
+    first (it is the whole mass), the rest follow in stable order."""
+    items = [("z1", 0.0), ("hot", 2.0), ("z2", 0.0)]
+    for seed in range(10):
+        out = roulette_select(items, 3, lambda t: t[1], random.Random(seed))
+        assert out == [("hot", 2.0), ("z1", 0.0), ("z2", 0.0)], seed

@@ -79,3 +79,87 @@ def test_bloom_scorer_agrees_where_filter_exact(spark, fixture_lexicon):
     words = list(fixture_lexicon)[:50] + ["dis0ric", "qzqzqz", "the.", "scn"]
     for w in words:
         assert bloomed.word_prob(w) == local.word_prob(w), w
+
+
+def test_resolve_sidecar_path_resolution_order(spark, tmp_path):
+    """ADVICE r2: conf-pinned shared dir wins; local masters fall back to
+    a tempdir (driver FS == executor FS); non-local masters with neither
+    resolve to None so callers use the driver fit instead of shipping a
+    path executors cannot read."""
+    from post_ocr_corretion_spark.operators.scorer_fit import resolve_sidecar_path
+
+    # 1. conf wins, unique subdir per call
+    spark.conf.set("spark.post_ocr.sidecarDir", str(tmp_path / "shared"))
+    try:
+        a = resolve_sidecar_path(spark)
+        b = resolve_sidecar_path(spark)
+        assert a.startswith(str(tmp_path / "shared") + "/") and a != b
+    finally:
+        spark.conf.unset("spark.post_ocr.sidecarDir")
+
+    # 2. local master → tempdir
+    p = resolve_sidecar_path(spark)
+    assert p is not None and "lexicon_sidecar" in p
+
+    # 3. non-local master, no conf → None (unit-faked master)
+    class _SC:
+        master = "spark://cluster:7077"
+
+    class _Conf:
+        def get(self, key, default=None):
+            return default
+
+    class _Fake:
+        sparkContext = _SC()
+        conf = _Conf()
+
+    assert resolve_sidecar_path(_Fake()) is None
+
+
+def test_scorer_broadcast_cluster_fallback_is_driver_fit(spark, fixture_lexicon, recwarn):
+    """On a (faked) non-local master with no shared dir, the distributed
+    fit falls back to the exact driver fit with a warning — never a
+    driver-tempdir sidecar executors cannot open."""
+    import warnings
+
+    from post_ocr_corretion_spark.core.scoring import NGramScorer as _S
+    from post_ocr_corretion_spark.operators import scorer_fit as sfmod
+    from post_ocr_corretion_spark.pipeline import build_scorer_broadcast
+
+    lex_df = _lex_df(spark, fixture_lexicon)
+    orig = sfmod.resolve_sidecar_path
+    sfmod.resolve_sidecar_path = lambda *a, **k: None
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            bc, words = build_scorer_broadcast(spark, lex_df, fit="distributed")
+        assert any("driver-side fit" in str(x.message) for x in w)
+    finally:
+        sfmod.resolve_sidecar_path = orig
+    assert isinstance(bc.value, _S) and words == frozenset(fixture_lexicon)
+    local = _S(fixture_lexicon)
+    assert bc.value.word_prob("the") == local.word_prob("the")
+
+
+def test_auto_bloom_switch_above_threshold(spark, fixture_lexicon):
+    """VERDICT r2 item 3: with the threshold forced low, the default fit
+    returns a Bloom-membership scorer (per-worker memory O(bloom bits));
+    membership stays exact on lexicon words (no false negatives) and the
+    bigram model is bit-identical to the local fit."""
+    import numpy as np
+
+    from post_ocr_corretion_spark.core.bloom import BloomFilter
+    from post_ocr_corretion_spark.pipeline import build_scorer_broadcast
+
+    lex_df = _lex_df(spark, fixture_lexicon)
+    bc, lex = build_scorer_broadcast(spark, lex_df, fit="distributed", bloom_threshold=0)
+    assert isinstance(lex, BloomFilter)
+    assert all(w in lex for w in fixture_lexicon)  # never false-negative
+    local = NGramScorer(fixture_lexicon)
+    assert np.array_equal(bc.value.log_prob, local.log_prob)
+
+    # below the threshold the exact sidecar path is unchanged
+    bc2, lex2 = build_scorer_broadcast(
+        spark, lex_df, fit="distributed", bloom_threshold=10**9
+    )
+    assert not isinstance(lex2, BloomFilter)

@@ -125,3 +125,29 @@ def test_partitioned_snapshot_prunes(spark, tmp_path):
     assert en.count() == 30
     plan = formatted_plan(en)
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_partitioned_readback_schema_pinned(spark, tmp_path):
+    """ADVICE r2: reading a partition_by snapshot back must reproduce the
+    PRE-write schema exactly — partition columns keep their position and
+    dtype even when values look numeric (hive inference would move them
+    to the end and re-infer string '7' as int)."""
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+    w = SnapshotWriter(str(tmp_path / "snap"))
+    df = spark.createDataFrame(
+        [(1, "7", "x"), (2, "12", "y"), (3, "7", "z")],
+        "doc_id long, shard string, payload string",
+    )
+    sid = w.write(df, key_col="doc_id", partition_by=["shard"])
+    back = w.read(spark, sid)
+    assert [f.name for f in back.schema.fields] == ["doc_id", "shard", "payload"]
+    assert back.schema["shard"].dataType.simpleString() == "string"
+    assert back.schema == df.schema
+    assert {(r.doc_id, r.shard, r.payload) for r in back.collect()} == {
+        (1, "7", "x"), (2, "12", "y"), (3, "7", "z")
+    }
+
+    # resume path returns the identical shape too
+    got, resumed = w.resume_or_run(spark, job=lambda: (_ for _ in ()).throw(AssertionError))
+    assert resumed and got.schema == df.schema

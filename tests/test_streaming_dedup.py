@@ -233,3 +233,118 @@ def test_state_fn_is_chunk_order_independent():
     # u1/u2/u3 emit exactly once with a deterministic representative row
     urls = [t[0] for t in a[0]]
     assert sorted(urls) == ["u1", "u2", "u3"]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the state fn directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.value = None
+        self.removed = False
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+        self.exists = True
+
+    def remove(self):
+        self.value = None
+        self.exists = False
+        self.removed = True
+
+
+def test_ttl_late_rows_emit_but_leave_no_state():
+    """ADVICE r2: a url whose only sighting is LATE (ts < batch max − ttl)
+    still emits if first-seen — never silently lost — but leaves no state
+    entry, so a later re-delivery re-emits (it is already expired by its
+    own timestamp)."""
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.dedup import _make_first_seen_fn
+
+    cols = ["url", "ts", "payload"]
+    fn = _make_first_seen_fn(cols, ttl_seconds=100)
+    st = _FakeState()
+    # batch max ts = 1000 → horizon 900; u_late@500 is out of the window
+    batch = pd.DataFrame(
+        [("u_late", 500, "backfill"), ("u_fresh", 1000, "live")], columns=cols
+    )
+    out = pd.concat(list(fn((0,), iter([batch]), st)), ignore_index=True)
+    assert sorted(out["url"]) == ["u_fresh", "u_late"]  # late row NOT dropped
+    assert st.value[0] == ["u_fresh"]  # but only in-window sightings hold state
+
+    # a repeat of the late url in a later batch re-emits (no state entry)
+    batch2 = pd.DataFrame([("u_late", 510, "again")], columns=cols)
+    fn2 = _make_first_seen_fn(cols, ttl_seconds=100)
+    out2 = pd.concat(list(fn2((0,), iter([batch2]), st)), ignore_index=True)
+    assert list(out2["url"]) == ["u_late"]
+
+
+def test_canonical_representative_rule_is_shared():
+    """ADVICE r2: BOTH modes pick the same canonical representative for a
+    duplicated url — the sort-min full row."""
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.dedup import _make_first_seen_fn
+
+    cols = ["url", "ts", "payload"]
+    rows = [("u", 1000, "zzz"), ("u", 1000, "aaa"), ("u", 999, "mmm")]
+    batch = pd.DataFrame(rows, columns=cols)
+    expected = ("u", 999, "mmm")  # lexicographic sort-min full row
+
+    for ttl in (None, 100):
+        fn = _make_first_seen_fn(cols, ttl_seconds=ttl)
+        out = pd.concat(list(fn((0,), iter([batch]), _FakeState())), ignore_index=True)
+        assert len(out) == 1
+        assert tuple(out.iloc[0]) == expected, f"ttl={ttl}"
+
+
+def test_idle_bucket_state_swept_by_global_watermark(spark, tmp_path):
+    """VERDICT r2 item 4: a bucket that stops receiving traffic has its
+    state removed once OTHER buckets' flow advances the global watermark
+    past its newest entry (EventTimeTimeout sweep) — state is bounded
+    even on quiet buckets."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            first_seen_urls(
+                spark.readStream.schema(TS_SCHEMA).parquet(src), ttl_seconds=100
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return q
+
+    # batch 1: 40 urls at ts=1000 spread over many buckets
+    b1 = [(f"https://h{i % 3}.example.com/idle{i}", 1000) for i in range(40)]
+    spark.createDataFrame(b1, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    q1 = drain()
+    n1 = q1.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert n1 >= 4  # several buckets hold state
+
+    # batch 2: ONE url far in the future advances the global watermark
+    spark.createDataFrame(
+        [("https://clock.example.com/t", 10_000)], TS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # batch 3: another single row; the timed-out idle buckets are swept
+    spark.createDataFrame(
+        [("https://clock.example.com/t2", 10_010)], TS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    q3 = drain()
+    n3 = q3.lastProgress["stateOperators"][0]["numRowsTotal"]
+    assert n3 < n1, f"idle buckets not swept: {n1} -> {n3}"
+    assert n3 <= 3  # only the clock bucket(s) remain
