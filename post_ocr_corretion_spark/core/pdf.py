@@ -68,6 +68,13 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
         raise ValueError("not a PDF")
     if b"/Encrypt" in pdf_bytes:
         raise ValueError("encrypted PDF not supported")
+    # cross-reference STREAMS (PDF 1.5+: a /Type /XRef stream object in
+    # place of the xref table, usually alongside /ObjStm object streams)
+    # would match the generic stream regex and leak decompressed binary
+    # xref rows into the text content — refuse loudly instead (VERDICT r2
+    # item 8; the caller's pdf_stub fallback stays honest)
+    if b"/XRef" in pdf_bytes or b"/ObjStm" in pdf_bytes:
+        raise ValueError("cross-reference/object streams not supported")
     matches = list(_STREAM_RE.finditer(pdf_bytes))
     if len(matches) != pdf_bytes.count(b"endstream"):
         # some stream's dict didn't parse as a flat innermost dict
@@ -85,13 +92,24 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
         if not lm:
             raise ValueError("stream without /Length")
         data = data[: int(lm.group(1))]
-        if b"/FlateDecode" in params:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as e:
-                raise ValueError(f"bad Flate stream: {e}") from None
+        fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", params)
+        if fm:
+            # /Filter may be a single name OR an array (a decode CHAIN,
+            # applied in order). The subset supports exactly one link:
+            # FlateDecode — given as a bare name or a one-element array.
+            # Any chain or other filter refuses loudly; substring matching
+            # alone would mis-decode e.g. [/ASCIIHexDecode /FlateDecode].
+            names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+            if names == [b"FlateDecode"]:
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise ValueError(f"bad Flate stream: {e}") from None
+            else:
+                chain = b",".join(names).decode("ascii", "replace")
+                raise ValueError(f"unsupported stream filter chain [{chain}]")
         elif b"/Filter" in params:
-            raise ValueError("unsupported stream filter")
+            raise ValueError("unparseable /Filter value")
         if b"/Image" in params or b"/XObject" in params:
             continue
         streams.append(data)

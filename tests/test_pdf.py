@@ -124,3 +124,54 @@ def test_unsupported_constructs_stub_honestly():
     assert extract_document(nested)[2] == "pdf_stub"
     indirect = raw_pdf(b"BT (x) Tj ET", b"<< /Length 6 0 R >>")
     assert extract_document(indirect)[2] == "pdf_stub"
+
+
+def test_filter_array_single_flate_supported():
+    """VERDICT r2 item 8: /Filter [/FlateDecode] (one-element array form)
+    decodes identically to the bare-name form."""
+    pdf = build_simple_pdf([(72, 700, "array filter line"), (72, 680, "second")])
+    arr = pdf.replace(b"/Filter /FlateDecode", b"/Filter [/FlateDecode]")
+    assert arr != pdf
+    assert extract_pdf_real(arr) == extract_pdf_real(pdf)
+
+
+def test_filter_chain_refused_loudly():
+    """A multi-filter chain must refuse — substring matching would run
+    zlib on hex-encoded bytes (or worse, 'succeed' on crafted input)."""
+    import pytest as _pytest
+
+    pdf = build_simple_pdf([(72, 700, "chained")])
+    chained = pdf.replace(b"/Filter /FlateDecode", b"/Filter [/ASCIIHexDecode /FlateDecode]")
+    with _pytest.raises(ValueError, match="filter chain"):
+        extract_pdf_real(chained)
+    lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with _pytest.raises(ValueError, match="filter chain"):
+        extract_pdf_real(lzw)
+
+
+def test_xref_stream_refused_loudly():
+    """A PDF 1.5+ cross-reference stream (/Type /XRef) or object stream
+    (/ObjStm) marker must refuse instead of leaking decompressed xref
+    rows into the text; the pipeline lands on pdf_stub."""
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from post_ocr_corretion_spark.core.extraction import extract_document
+
+    pdf = build_simple_pdf([(72, 700, "body text")])
+    xref_data = _zlib.compress(b"\x01\x00\x10\x00" * 4)
+    xref_obj = (
+        b"9 0 obj\n<< /Type /XRef /W [1 2 1] /Length "
+        + str(len(xref_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + xref_data
+        + b"\nendstream\nendobj\n"
+    )
+    hybrid = pdf.replace(b"trailer", xref_obj + b"trailer", 1)
+    with _pytest.raises(ValueError, match="cross-reference"):
+        extract_pdf_real(hybrid)
+    assert extract_document(hybrid)[2] == "pdf_stub"
+    objstm = pdf.replace(b"/Type /Catalog", b"/Type /ObjStm", 1)
+    with _pytest.raises(ValueError, match="cross-reference"):
+        extract_pdf_real(objstm)
