@@ -1004,6 +1004,64 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_p3_mark_spaces(spark, sf):
+    """P3 space→'#' (seq2seqPreprocessing.py:96-97) as a driver-gated row."""
+    from post_ocr_corretion_spark.functions.text import mark_spaces
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", mark_spaces(F.col("text")).alias("marked"))
+
+
+def q_a4_max_len(spark, sf):
+    """A4 global/per-group max length (the pad-to-max aggregate,
+    seq2seqPreprocessing.py:100-104) over the documents table."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.max(F.length("text")).alias("max_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_p13_p14_wrap_decode(spark, sf):
+    """D3 bos/eos wrap → P13 special-symbol drop (duplicates preserved) →
+    P14 truncate-at-eos, composed: wrapping then decoding must give back
+    the original token stream (metamorphic oracle — the SQL side applies
+    the same list ops, so any drift in either op mismatches)."""
+    from post_ocr_corretion_spark.functions.text import (
+        drop_special_symbols,
+        truncate_at_eos,
+        words_on_space,
+    )
+
+    docs = _t(spark, sf, "documents")
+    wrapped = F.concat(
+        F.array(F.lit("<bos>")),
+        words_on_space(F.col("text")),
+        F.array(F.lit("<eos>"), F.lit("<pad>"), F.lit("<pad>")),
+    )
+    decoded = truncate_at_eos(drop_special_symbols(wrapped, ["<bos>", "<pad>"]))
+    return docs.select("doc_id", F.concat_ws(" ", decoded).alias("decoded"))
+
+
+def q_d5_word_ids(spark, sf):
+    """D5 dict encode (seq2seqPreprocessing.py:44-63): a deterministic
+    word→id dictionary (sorted rank over the corpus vocabulary) joined
+    back onto every occurrence — (doc_id, wid, cnt)."""
+    from post_ocr_corretion_spark.functions.text import words_on_space
+
+    docs = _t(spark, sf, "documents")
+    words = docs.select("doc_id", F.explode(words_on_space(F.col("text"))).alias("word"))
+    vocab = (
+        words.select("word")
+        .distinct()
+        .withColumn("wid", F.row_number().over(W.orderBy("word")).cast("long"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id", "wid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1041,6 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_indel_ratio": q_m5_indel_ratio,
         "wer": q_wer,
         "multimodal_features": q_multimodal_features,
+        # -- new round-3 queries (converted from pytest-only families) --
+        "p3_mark_spaces": q_p3_mark_spaces,
+        "a4_max_len": q_a4_max_len,
+        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
+        "d5_word_ids": q_d5_word_ids,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "a1_char_vocab": q_a1_char_vocab,
@@ -1060,13 +1123,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
         "w6_lag_events": q_w6_lag_events,
+        "lsh_near_dup": q_lsh_near_dup,
+        "fingerprint": q_fingerprint,
+        # ---- slot 51+: driver-proven in r02, covered by the local gate ----
         "u1_union_nations": q_u1_union_nations,
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
-        "lsh_near_dup": q_lsh_near_dup,
         "langid": q_langid,
-        "fingerprint": q_fingerprint,
-        # ---- slot 51+: driver-proven in r02, covered by the local gate ----
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
         "a2_lexicon_words": q_a2_lexicon_words,
@@ -1120,6 +1183,42 @@ def _common_words_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "p3_mark_spaces": """
+            SELECT doc_id, replace(text, ' ', '#') AS marked FROM documents
+        """,
+        "a4_max_len": """
+            SELECT lang, max(length(text)) AS max_len, count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "p13_p14_wrap_decode": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_concat(list_concat(['<bos>'], string_split(text, ' ')),
+                                 ['<eos>', '<pad>', '<pad>']) AS wrapped
+              FROM documents
+            ), f AS (
+              SELECT doc_id, list_filter(wrapped, x -> x NOT IN ('<bos>', '<pad>')) AS fil
+              FROM t
+            ), tr AS (
+              SELECT doc_id,
+                     CASE WHEN list_position(fil, '<eos>') > 0
+                          THEN fil[1:list_position(fil, '<eos>') - 1]
+                          ELSE fil END AS res
+              FROM f
+            )
+            SELECT doc_id, array_to_string(res, ' ') AS decoded FROM tr
+        """,
+        "d5_word_ids": """
+            WITH v AS (
+              SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+              FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents)
+            ), w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+            )
+            SELECT w.doc_id, v.wid, count(*) AS cnt
+            FROM w JOIN v USING (word)
+            GROUP BY w.doc_id, v.wid
+        """,
         "a14_word_diff": """
             WITH a AS (SELECT doc_id AS da, string_split(text, ' ') AS iw FROM documents WHERE doc_id % 2 = 0),
                  b AS (SELECT doc_id - 1 AS da, string_split(text, ' ') AS ow FROM documents WHERE doc_id % 2 = 1)

@@ -128,7 +128,7 @@ def _scaled_docs(spark, sf_dir: str, rep: int):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(rep - 1))))
-        .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
+        .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000))
         .drop("k")
     )
 
@@ -165,7 +165,7 @@ def run_scaling() -> None:
             docs_df = (
                 base.repartition(partitions, F.xxhash64("doc_id"))
                 .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(rep_n - 1))))
-                .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
+                .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000))
                 .drop("k")
             )
             ext = render_and_extract(docs_df)

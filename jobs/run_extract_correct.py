@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
             docs = (
                 read_documents(spark, args.sf_dir)
                 .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(args.replicate - 1))))
-                .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
+                .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000))
                 .drop("k")
             )
             df = run_pipeline_from_docs(
@@ -113,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
                 spread=args.spread,
                 sidecar_path=args.sidecar_path,
                 bloom_threshold=args.bloom_threshold,
+                # replication adds no vocabulary: fit the lexicon/scorer
+                # from the base table (byte-identical output, tested)
+                lexicon_docs=read_documents(spark, args.sf_dir),
             )
         else:
             df = run_pipeline(

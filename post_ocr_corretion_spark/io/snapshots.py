@@ -107,7 +107,11 @@ class SnapshotWriter:
         lineage_path = os.path.join(self.base, "lineage", f"snapshot={sid}")
         lineage.write.mode("overwrite").parquet(lineage_path)
 
-        total_rows = written.count()
+        # total rows from the lineage just written (sum of per-file rows)
+        # instead of a THIRD scan of the data files
+        total_rows = int(
+            spark.read.parquet(lineage_path).agg(F.sum("rows")).collect()[0][0] or 0
+        )
         manifest = {
             "snapshot_id": sid,
             "rows": total_rows,

@@ -160,7 +160,13 @@ def run_pipeline_from_docs(
     spread: str = "hash",
     sidecar_path: str | None = None,
     bloom_threshold: int | None = None,
+    lexicon_docs: DataFrame | None = None,
 ) -> DataFrame:
+    """``lexicon_docs``: optional smaller table to build the lexicon/scorer
+    from when ``docs`` is a deterministic replication of it (--replicate
+    benchmarking) — replication adds no vocabulary and build_lexicon is a
+    distinct, so the lexicon (and therefore every corrected byte) is
+    IDENTICAL while the fit reads 1/N of the rows (tested)."""
     from .session import ensure_package_shipped
 
     if roulette_seed is not None and mode != "udf":
@@ -181,7 +187,10 @@ def run_pipeline_from_docs(
     else:
         docs = docs.repartition(par, F.xxhash64("doc_id"))
 
-    lexicon_df = build_lexicon(spark, docs, COMMON_WORDS, bucketed=(mode == "catalyst")).cache()
+    lexicon_df = build_lexicon(
+        spark, lexicon_docs if lexicon_docs is not None else docs,
+        COMMON_WORDS, bucketed=(mode == "catalyst"),
+    ).cache()
     scorer_bc, lex_words = build_scorer_broadcast(
         spark, lexicon_df, fit=fit, sidecar_path=sidecar_path, bloom_threshold=bloom_threshold
     )

@@ -126,13 +126,14 @@ def test_resize_nearest():
 
 
 def test_real_decodes_flow_through_spark(spark):
-    """PNG/WAV blobs report their real decoder and real stats; only video
-    falls back to the fake."""
+    """PNG/JPEG/WAV blobs report their real decoder and real stats; only
+    video falls back to the fake."""
     blobs = synthetic_blobs(spark, 12)
     rows = {r.blob_id: r for r in extract_features(blobs).collect()}
+    assert {r.decoder for r in rows.values() if r.kind == "image"} == {"png", "jpeg"}
     for i, r in rows.items():
         if r.kind == "image":
-            assert r.decoder == "png"
+            assert r.decoder == ("png" if (i // 3) % 2 == 0 else "jpeg")
             assert r.features[0] == 12 + (i % 4) and r.features[1] == 16 + (i % 5)
         elif r.kind == "audio":
             assert r.decoder == "wav"

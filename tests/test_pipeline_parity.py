@@ -178,3 +178,30 @@ def test_flagship_auto_bloom_threshold(spark, docs_rows):
     assert bloom.keys() == exact.keys()
     mismatches = [u for u in exact if bloom[u] != exact[u]]
     assert mismatches == [], mismatches
+
+
+def test_lexicon_from_base_table_is_byte_identical_under_replication(spark, docs_rows):
+    """run_pipeline_from_docs(lexicon_docs=base) on a replicated input is
+    byte-identical to fitting from the replicated table itself —
+    replication adds no vocabulary, so the shipped job's --replicate
+    fast path (fit from base) changes nothing but the fit cost."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
+
+    base = _docs_df(spark, docs_rows[:40])
+    replicated = (
+        base.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
+        .drop("k")
+    )
+    cols = ["url", "extracted_text", "corrected_text"]
+    slow = {r.url: r for r in run_pipeline_from_docs(spark, replicated).select(cols).collect()}
+    fast = {
+        r.url: r
+        for r in run_pipeline_from_docs(spark, replicated, lexicon_docs=base)
+        .select(cols)
+        .collect()
+    }
+    assert slow.keys() == fast.keys() and len(slow) == 120
+    assert all(slow[u] == fast[u] for u in slow)
