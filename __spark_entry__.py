@@ -1062,6 +1062,81 @@ def q_d5_word_ids(spark, sf):
     )
 
 
+def _rev():
+    # TPC-H revenue: exact decimal accumulation, double on output (the
+    # same idiom DuckDB's oracle uses, so value hashes match bit-for-bit)
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+    ).cast("double")
+
+
+def q_tpch_q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: shipping volume between a nation pair by year —
+    two broadcast dims aliased twice (supplier vs customer nation)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    supp_n = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cust_n = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cust_n), c.c_nationkey == F.col("cn_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_tpch_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: top-20 customers by revenue on returned items."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_rev().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_sessionize(spark, sf):
+    """Sessionization via Spark's NATIVE session_window (30-minute gap):
+    events whose [ts, ts+gap) windows chain overlap merge into one
+    session. The oracle expresses the identical semantics as
+    gaps-and-islands SQL (lag + cumulative boundary sum), so the native
+    operator is checked against the classical formulation."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1104,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_max_len": q_a4_max_len,
         "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
         "d5_word_ids": q_d5_word_ids,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "sessionize": q_sessionize,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "a1_char_vocab": q_a1_char_vocab,
@@ -1114,7 +1192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_line_share": q_a5_line_share,
         "a6_cumulative_share": q_a6_cumulative_share,
         "a9_confusion": q_a9_confusion,
-        "a11_avg_std": q_a11_avg_std,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "grouped_quantiles": q_grouped_quantiles,
         "dedup_exact": q_dedup_exact,
@@ -1122,10 +1199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
-        "w6_lag_events": q_w6_lag_events,
         "lsh_near_dup": q_lsh_near_dup,
-        "fingerprint": q_fingerprint,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "a11_avg_std": q_a11_avg_std,
+        "w6_lag_events": q_w6_lag_events,
+        "fingerprint": q_fingerprint,
         "u1_union_nations": q_u1_union_nations,
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
@@ -1207,6 +1285,47 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             )
             SELECT doc_id, array_to_string(res, ' ') AS decoded FROM tr
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+                          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "d5_word_ids": """
             WITH v AS (
