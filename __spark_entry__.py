@@ -1045,7 +1045,14 @@ def q_p13_p14_wrap_decode(spark, sf):
 def q_d5_word_ids(spark, sf):
     """D5 dict encode (seq2seqPreprocessing.py:44-63): a deterministic
     word→id dictionary (sorted rank over the corpus vocabulary) joined
-    back onto every occurrence — (doc_id, wid, cnt)."""
+    back onto every occurrence — (doc_id, wid, cnt).
+
+    Scale note: the unpartitioned row_number window is a single-task sort
+    of the DISTINCT VOCABULARY — a bounded model artifact (like the IVF
+    centroid fit), not the corpus; the corpus-sized side only does the
+    broadcast join. For 10^9-word vocabularies swap the rank for
+    a sortWithinPartitions + per-partition offset scan (two passes, fully
+    distributed) — the id assignment contract (sorted order) is unchanged."""
     from post_ocr_corretion_spark.functions.text import words_on_space
 
     docs = _t(spark, sf, "documents")
