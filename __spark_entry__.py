@@ -1144,6 +1144,51 @@ def q_sessionize(spark, sf):
     )
 
 
+def q_tpch_q16_supplier_cnt(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts by part attributes."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — the
+    classic disjunctive-pushdown case (Catalyst distributes the common
+    join key out of the disjunction)."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(_rev().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_tpch_q2_min_price_supplier(spark, sf):
+    """TPC-H Q2 shape (correlated subquery → argmin join): for each small
+    part, the supplier(s) quoting its minimum lineitem price. No partsupp
+    table in this corpus; lineitem price plays the supplycost role."""
+    p = _t(spark, sf, "part").filter(F.col("p_size") < 8)
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    quotes = li.select("l_partkey", "l_suppkey", "l_extendedprice")
+    min_price = quotes.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        quotes.join(min_price, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", F.col("min_price"))
+        .distinct()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1189,18 +1234,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "sessionize": q_sessionize,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "a1_char_vocab": q_a1_char_vocab,
-        "a3_bucket_hist": q_a3_bucket_hist,
         "w7_split_point": q_w7_split_point,  # rewritten r3: array expr, no per-char explode
         "j3_band_join": q_j3_band_join,
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
         "a5_line_share": q_a5_line_share,
         "a6_cumulative_share": q_a6_cumulative_share,
-        "a9_confusion": q_a9_confusion,
         "tpch_q1_pricing": q_tpch_q1_pricing,
-        "grouped_quantiles": q_grouped_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1208,6 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_split_to_fit": q_d2_split_to_fit,
         "lsh_near_dup": q_lsh_near_dup,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "a3_bucket_hist": q_a3_bucket_hist,
+        "a9_confusion": q_a9_confusion,
+        "grouped_quantiles": q_grouped_quantiles,
         "a11_avg_std": q_a11_avg_std,
         "w6_lag_events": q_w6_lag_events,
         "fingerprint": q_fingerprint,
@@ -1317,6 +1365,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        """,
+        "tpch_q2_min_price_supplier": """
+            WITH m AS (
+              SELECT l_partkey, min(l_extendedprice) AS min_price
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT DISTINCT p_partkey, p_name, s_name, min_price
+            FROM lineitem JOIN m ON lineitem.l_partkey = m.l_partkey
+                          JOIN part ON lineitem.l_partkey = p_partkey
+                          JOIN supplier ON l_suppkey = s_suppkey
+            WHERE l_extendedprice = min_price AND p_size < 8
         """,
         "sessionize": """
             WITH o AS (
