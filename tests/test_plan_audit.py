@@ -67,3 +67,47 @@ def test_range_spread_uses_range_partitioning_and_matches_hash(spark, docs_rows)
     a = {r.url: r for r in rng.select(cols).collect()}
     b = {r.url: r for r in run_pipeline_from_docs(spark, docs, spread="hash").select(cols).collect()}
     assert a == b
+
+
+def test_no_row_wise_python_in_any_registry_query(spark):
+    """Registry-wide anti-pattern sweep (SURVEY §4 'UDFs are the slow
+    path'): NO queries() entry may plan a row-wise Python eval
+    (BatchEvalPython). Arrow-batched stages (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas*) are the sanctioned Python
+    escape hatch. The three flagship entries are plan-locked separately
+    (test_flagship_udf_mode_shape) and cost ~10 s each to build, so the
+    sweep skips them; streaming entries can't explain on a batch session
+    and prove the same property in their own suites."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    sf = "/root/testdata/sf0.001"
+    skip = {
+        "flagship_correct", "flagship_catalyst", "flagship_roulette",
+        "streaming_window",
+    }
+    offenders = []
+    for name, fn in em.queries().items():
+        if name in skip:
+            continue
+        plan = formatted_plan(fn(spark, sf))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == [], f"row-wise Python UDF planned in: {offenders}"
+
+
+def test_new_tpch_shapes_broadcast_their_dims(spark):
+    """Q7 aliases the nation dim twice — both sides must broadcast; Q10's
+    nation join likewise; the Q2 argmin joins broadcast part+supplier."""
+    for name in ["tpch_q7_volume_shipping", "tpch_q10_returned_items", "tpch_q2_min_price_supplier"]:
+        strategies = join_strategies(em.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in strategies, name
+
+
+def test_sessionize_plans_native_session_window(spark):
+    """The sessionize entry must use Spark's native session-window
+    aggregation (no per-row Python, one shuffle on the grouping key)."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["sessionize"](spark, SF))
+    assert "session_window" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
