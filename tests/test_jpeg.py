@@ -96,3 +96,26 @@ def test_decode_image_sniffs_jpeg_and_falls_back_on_corrupt():
     assert dec2 == "fake"
     with pytest.raises((ValueError, NotImplementedError)):
         decode_image(bad, strict=True)
+
+
+def test_jpeg_roundtrip_property():
+    """Property sweep: random shapes/content at q=100 round-trip within
+    the DCT+color rounding bound (gray ≤2, RGB ≤4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.sampled_from([1, 3]),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def inner(h, w, c, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w) if c == 1 else (h, w, c), dtype=np.uint8)
+        out = decode_jpeg_baseline(encode_jpeg_baseline(img, quality=100))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= (2 if c == 1 else 4)
+
+    inner()

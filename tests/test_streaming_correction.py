@@ -84,3 +84,37 @@ def test_dedup_then_correct_composition(spark, docs_rows, fixture_scorer, fixtur
     for r in out:
         want = correct_sentence(text_by_url[r.url], fixture_scorer, fixture_lexicon)
         assert r.corrected_words == want, r.url
+
+
+def test_session_window_batch_stream_parity(spark, tmp_path):
+    """session_stats (native session_window) over the events parquet:
+    the streaming drain (availableNow, complete mode) produces exactly
+    the batch result — the streaming form of the `sessionize` registry
+    query, whose batch semantics are oracle-checked vs gaps-and-islands
+    SQL in test_entry_queries."""
+    import shutil
+
+    from post_ocr_corretion_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        session_stats,
+        stream_events,
+    )
+
+    src = str(tmp_path / "events_dir")
+    shutil.os.makedirs(src)
+    batch_df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch_df.coalesce(1).write.mode("append").parquet(src)
+
+    q = (
+        session_stats(stream_events(spark, src))
+        .writeStream.format("memory")
+        .queryName("sess_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM sess_stats").collect()}
+    batch = {tuple(r) for r in session_stats(batch_df).collect()}
+    assert streamed == batch and len(batch) > 0
