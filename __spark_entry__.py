@@ -1189,6 +1189,32 @@ def q_tpch_q2_min_price_supplier(spark, sf):
     )
 
 
+def q_asof_events(spark, sf):
+    """As-of join (operators/asof.py): each click event picks up the most
+    recent at-or-before view event's value per user — checked against
+    DuckDB's NATIVE ASOF LEFT JOIN. The right side is pre-aggregated to
+    unique (user_id, ts) so both engines are deterministic."""
+    from post_ocr_corretion_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(clicks, views, by="user_id").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("view_ts"),
+        "view_value_right",
+    ).withColumnRenamed("view_value_right", "view_value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1237,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
+        "asof_events": q_asof_events,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "a1_char_vocab": q_a1_char_vocab,
@@ -1246,13 +1273,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_line_share": q_a5_line_share,
         "a6_cumulative_share": q_a6_cumulative_share,
         "tpch_q1_pricing": q_tpch_q1_pricing,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
         "lsh_near_dup": q_lsh_near_dup,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "dedup_exact": q_dedup_exact,
         "a3_bucket_hist": q_a3_bucket_hist,
         "a9_confusion": q_a9_confusion,
         "grouped_quantiles": q_grouped_quantiles,
@@ -1365,6 +1392,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "asof_events": """
+            WITH c AS (
+              SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+            ), v AS (
+              SELECT user_id, ts AS view_ts, max(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.ts, c.value, v.view_ts, v.view_value
+            FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts
         """,
         "tpch_q16_supplier_cnt": """
             SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -1,0 +1,56 @@
+"""asof_join (operators/asof.py): brute-force equivalence on a corner-case
+fixture, null semantics for unmatched probes, and the loud duplicate-key
+refusal. The DuckDB ASOF LEFT JOIN parity runs in test_entry_queries
+(`asof_events`)."""
+from __future__ import annotations
+
+import pytest
+
+from post_ocr_corretion_spark.operators.asof import asof_join
+
+
+def _brute(left_rows, right_rows):
+    out = []
+    for lid, key, lts, lval in left_rows:
+        cands = [(rts, rval) for k, rts, rval in right_rows if k == key and rts <= lts]
+        if cands:
+            rts, rval = max(cands)
+            out.append((lid, key, lts, lval, rts, rval))
+        else:
+            out.append((lid, key, lts, lval, None, None))
+    return sorted(out)
+
+
+def test_asof_matches_brute_force(spark):
+    left_rows = [
+        (1, "a", 10, 1.0),
+        (2, "a", 20, 2.0),
+        (3, "a", 5, 3.0),   # before any right row → nulls
+        (4, "b", 15, 4.0),
+        (5, "b", 30, 5.0),
+        (6, "c", 50, 6.0),  # key with no right rows at all
+        (7, "a", 12, 7.0),  # exactly equal to a right ts → includes it
+    ]
+    right_rows = [
+        ("a", 8, 100.0),
+        ("a", 12, 200.0),
+        ("a", 19, 300.0),
+        ("b", 15, 400.0),
+        ("b", 29, 500.0),
+    ]
+    left = spark.createDataFrame(left_rows, "lid int, key string, ts int, lval double")
+    right = spark.createDataFrame(right_rows, "key string, ts int, rval double")
+    got = sorted(
+        (r.lid, r.key, r.ts, r.lval, r.ts_right, r.rval_right)
+        for r in asof_join(left, right, by="key").collect()
+    )
+    assert got == _brute(left_rows, right_rows)
+
+
+def test_asof_refuses_duplicate_right_keys(spark):
+    left = spark.createDataFrame([(1, "a", 10, 1.0)], "lid int, key string, ts int, lval double")
+    right = spark.createDataFrame(
+        [("a", 8, 1.0), ("a", 8, 2.0)], "key string, ts int, rval double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, right, by="key")
