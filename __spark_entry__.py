@@ -1215,6 +1215,24 @@ def q_asof_events(spark, sf):
     ).withColumnRenamed("view_value_right", "view_value")
 
 
+def q_interval_join(spark, sf):
+    """Range join (operators/intervals.py): event intervals
+    [ts, ts + value minutes] per user, all overlapping pairs via the
+    grid-bucketed equi-join — checked against DuckDB's native inequality
+    join over the identical predicate. floor() on both engines avoids
+    the double→int cast disagreement (DuckDB rounds, Spark truncates)."""
+    from post_ocr_corretion_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("event_id").alias("id"),
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.floor(F.col("value") * 60).cast("long")).alias("e"),
+    )
+    return interval_overlap_join(iv, cell_size=3600, by="user_id", id_col="id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1264,9 +1282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
         "asof_events": q_asof_events,
+        "interval_join": q_interval_join,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
-        "a1_char_vocab": q_a1_char_vocab,
         "w7_split_point": q_w7_split_point,  # rewritten r3: array expr, no per-char explode
         "j3_band_join": q_j3_band_join,
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
@@ -1279,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_split_to_fit": q_d2_split_to_fit,
         "lsh_near_dup": q_lsh_near_dup,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "a1_char_vocab": q_a1_char_vocab,
         "dedup_exact": q_dedup_exact,
         "a3_bucket_hist": q_a3_bucket_hist,
         "a9_confusion": q_a9_confusion,
@@ -1392,6 +1411,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT user_id, event_id AS id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value * 60) AS BIGINT) AS e
+              FROM events
+            )
+            SELECT a.user_id, a.id AS id_a, b.id AS id_b
+            FROM iv a JOIN iv b
+              ON a.user_id = b.user_id AND a.id < b.id
+             AND a.s <= b.e AND b.s <= a.e
         """,
         "asof_events": """
             WITH c AS (

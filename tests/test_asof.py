@@ -54,3 +54,39 @@ def test_asof_refuses_duplicate_right_keys(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         asof_join(left, right, by="key")
+
+
+def test_interval_overlap_join_matches_brute_force_any_cell_size(spark):
+    """Grid-bucketed interval join: identical pair set for ANY cell size
+    (the residual predicate is exact; bucketing only affects cost), and
+    equal to the O(n²) brute force — touching, nested, disjoint and
+    cross-cell intervals included."""
+    from post_ocr_corretion_spark.operators.intervals import interval_overlap_join
+
+    rows = [
+        ("u", 1, 0, 10),
+        ("u", 2, 10, 20),   # touches 1 at a point (inclusive → overlap)
+        ("u", 3, 21, 30),   # disjoint from 2
+        ("u", 4, 5, 25),    # spans several cells, nests 2
+        ("u", 5, 100, 400), # long interval across many cells
+        ("v", 6, 0, 10),    # other key: never pairs with u
+        ("v", 7, 3, 4),     # nested inside 6
+    ]
+    iv = spark.createDataFrame(rows, "k string, id int, s long, e long")
+    brute = sorted(
+        (a[0], a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[0] == b[0] and a[1] < b[1] and a[2] <= b[3] and b[2] <= a[3]
+    )
+    for cell in (1, 7, 64, 1000):
+        got = sorted(
+            (r.k, r.id_a, r.id_b)
+            for r in interval_overlap_join(iv, cell_size=cell, by="k", id_col="id").collect()
+        )
+        assert got == brute, f"cell_size={cell}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell_size"):
+        interval_overlap_join(iv, cell_size=0, by="k", id_col="id")
