@@ -1233,6 +1233,60 @@ def q_interval_join(spark, sf):
     return interval_overlap_join(iv, cell_size=3600, by="user_id", id_col="id")
 
 
+def q_rollup_cascade(spark, sf):
+    """Hypertable-style continuous-aggregate CASCADE: raw events roll up
+    to 1-minute buckets, and the HOURLY table is computed FROM the minute
+    rollup (sum-of-counts, sum-of-decimal-sums, min-of-mins, max-of-maxs)
+    — while the oracle aggregates hours directly from raw rows. Equality
+    proves the re-aggregation composes exactly; the decimal accumulator
+    makes the sum order-independent (double sums would differ in ULPs
+    between the two grouping orders)."""
+    ev = _t(spark, sf, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        minute.groupBy(F.date_trunc("hour", F.col("m")).alias("h"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+def q_cms_counts(spark, sf):
+    """Count-Min sketch (Spark's JVM-side `count_min_sketch` aggregate,
+    one pass, mergeable across partitions): per-event-type frequency
+    estimates read back from the sketch binary. With eps=0.001 the width
+    (~2.7k counters) vastly exceeds the key cardinality, so no hash
+    collisions occur and the CMS estimates EQUAL the true counts — which
+    is what the exact groupBy-count oracle checks. The sketch decode is a
+    driver-side read of one bounded artifact (like the IVF centroid
+    fit), not a data-sized collect."""
+    ev = _t(spark, sf, "events")
+    blob = bytes(
+        ev.agg(
+            F.count_min_sketch(
+                "event_type", F.lit(0.001), F.lit(0.99), F.lit(1)
+            ).alias("cms")
+        ).collect()[0][0]
+    )
+    jvm = spark.sparkContext._jvm
+    jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    keys = sorted(r.event_type for r in ev.select("event_type").distinct().collect())
+    rows = [(k, int(jcms.estimateCount(k))) for k in keys]
+    return spark.createDataFrame(rows, "event_type string, n long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1283,10 +1337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
         "asof_events": q_asof_events,
         "interval_join": q_interval_join,
+        "rollup_cascade": q_rollup_cascade,
+        "cms_counts": q_cms_counts,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "w7_split_point": q_w7_split_point,  # rewritten r3: array expr, no per-char explode
-        "j3_band_join": q_j3_band_join,
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
         "a5_line_share": q_a5_line_share,
         "a6_cumulative_share": q_a6_cumulative_share,
@@ -1295,8 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
-        "lsh_near_dup": q_lsh_near_dup,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "lsh_near_dup": q_lsh_near_dup,
+        "j3_band_join": q_j3_band_join,
         "a1_char_vocab": q_a1_char_vocab,
         "dedup_exact": q_dedup_exact,
         "a3_bucket_hist": q_a3_bucket_hist,
@@ -1411,6 +1467,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "cms_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "rollup_cascade": """
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY h, event_type
         """,
         "interval_join": """
             WITH iv AS (
