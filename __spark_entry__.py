@@ -1287,6 +1287,19 @@ def q_cms_counts(spark, sf):
     return spark.createDataFrame(rows, "event_type string, n long")
 
 
+def q_unpivot_stats(spark, sf):
+    """Unpivot/melt (the reshape inverse of `pivot_returnflag`): per-lang
+    wide stats → long (lang, metric, value) via Spark's native unpivot,
+    oracle-checked against the classical UNION ALL formulation."""
+    docs = _t(spark, sf, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.max(F.length("text")).cast("double").alias("max_len"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+    )
+    return wide.unpivot("lang", ["max_len", "n_docs", "avg_len"], "metric", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict (CORRECTNESS_r01/_r02 both contain exactly the
@@ -1339,11 +1352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "rollup_cascade": q_rollup_cascade,
         "cms_counts": q_cms_counts,
+        "unpivot_stats": q_unpivot_stats,
         # -- representatives of driver-proven families (green in r02) --
         "p2_clean_text": q_p2_clean_text,
         "w7_split_point": q_w7_split_point,  # rewritten r3: array expr, no per-char explode
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
-        "a5_line_share": q_a5_line_share,
         "a6_cumulative_share": q_a6_cumulative_share,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
         # ---- slot 51+: driver-proven in r02, covered by the local gate ----
+        "a5_line_share": q_a5_line_share,
         "lsh_near_dup": q_lsh_near_dup,
         "j3_band_join": q_j3_band_join,
         "a1_char_vocab": q_a1_char_vocab,
@@ -1467,6 +1481,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "unpivot_stats": """
+            WITH wide AS (
+              SELECT lang,
+                     CAST(max(length(text)) AS DOUBLE) AS max_len,
+                     CAST(count(*) AS DOUBLE) AS n_docs,
+                     round(avg(length(text)), 6) AS avg_len
+              FROM documents GROUP BY lang
+            )
+            SELECT lang, 'max_len' AS metric, max_len AS value FROM wide
+            UNION ALL SELECT lang, 'n_docs', n_docs FROM wide
+            UNION ALL SELECT lang, 'avg_len', avg_len FROM wide
         """,
         "cms_counts": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
