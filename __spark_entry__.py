@@ -1127,20 +1127,17 @@ def q_sessionize(spark, sf):
     events whose [ts, ts+gap) windows chain overlap merge into one
     session. The oracle expresses the identical semantics as
     gaps-and-islands SQL (lag + cumulative boundary sum), so the native
-    operator is checked against the classical formulation."""
+    operator is checked against the classical formulation. The
+    aggregation itself is the SHARED definition in streaming/windows.py
+    (one logical plan for batch and stream, by construction)."""
+    from post_ocr_corretion_spark.streaming.windows import session_agg
+
     ev = _t(spark, sf, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-            "total_value",
-        )
+    return session_agg(ev).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "total_value",
     )
 
 

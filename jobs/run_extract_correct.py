@@ -95,14 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     def job():
         if args.replicate > 1:
             from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
-            from post_ocr_corretion_spark.sources.webpages import read_documents
+            from post_ocr_corretion_spark.sources.webpages import read_documents, replicate_docs
 
-            docs = (
-                read_documents(spark, args.sf_dir)
-                .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(args.replicate - 1))))
-                .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000))
-                .drop("k")
-            )
+            docs = replicate_docs(read_documents(spark, args.sf_dir), args.replicate)
             df = run_pipeline_from_docs(
                 spark,
                 docs,

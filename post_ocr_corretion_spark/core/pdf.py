@@ -66,17 +66,24 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
     minimal subset does not cover (the caller stubs those honestly)."""
     if not pdf_bytes.startswith(b"%PDF"):
         raise ValueError("not a PDF")
-    if b"/Encrypt" in pdf_bytes:
+    matches = list(_STREAM_RE.finditer(pdf_bytes))
+    # STRUCTURAL view: stream payloads blanked out, so marker checks
+    # below can never false-positive on compressed bytes that happen to
+    # contain '/XRef' etc. (r3 review — ~1e-6 per MB of Flate data)
+    structural = bytearray(pdf_bytes)
+    for m in matches:
+        structural[m.start(2) : m.end(2)] = b"\x00" * (m.end(2) - m.start(2))
+    structural = bytes(structural)
+    if b"/Encrypt" in structural:
         raise ValueError("encrypted PDF not supported")
     # cross-reference STREAMS (PDF 1.5+: a /Type /XRef stream object in
     # place of the xref table, usually alongside /ObjStm object streams)
     # would match the generic stream regex and leak decompressed binary
     # xref rows into the text content — refuse loudly instead (VERDICT r2
     # item 8; the caller's pdf_stub fallback stays honest)
-    if b"/XRef" in pdf_bytes or b"/ObjStm" in pdf_bytes:
+    if b"/XRef" in structural or b"/ObjStm" in structural:
         raise ValueError("cross-reference/object streams not supported")
-    matches = list(_STREAM_RE.finditer(pdf_bytes))
-    if len(matches) != pdf_bytes.count(b"endstream"):
+    if len(matches) != structural.count(b"endstream"):
         # some stream's dict didn't parse as a flat innermost dict
         # (nested /DecodeParms etc.) — refuse rather than half-parse
         raise ValueError("unsupported stream dictionary shape")
@@ -115,7 +122,7 @@ def extract_pdf_real(pdf_bytes: bytes) -> tuple[str, list[tuple[int, int]]]:
         streams.append(data)
     if not streams:
         raise ValueError("no content streams")
-    if b"/Type0" in pdf_bytes or b"/CMap" in pdf_bytes:
+    if b"/Type0" in structural or b"/CMap" in structural:
         raise ValueError("composite fonts not supported")
 
     content = b"\n".join(streams).decode("utf-8", errors="replace")

@@ -37,15 +37,25 @@ def asof_join(
 ) -> DataFrame:
     """Backward as-of join; right's non-key columns arrive suffixed
     (including its timestamp, as ``<right_ts><suffix>``), null when no
-    right row is at-or-before the left row's timestamp."""
+    right row is at-or-before the left row's timestamp.
+
+    Duplicate (by, ts) right rows would make the result
+    engine-nondeterministic; they are rejected LAZILY inside the same
+    plan (a lag check over the already-sorted window raises via
+    ``raise_error`` at execution) so the operator stays one-shuffle and
+    builds no eager validation job (r3 review)."""
     rcols = [c for c in right.columns if c != by]
-    dup = (
-        right.groupBy(by, right_ts).count().filter(F.col("count") > 1).limit(1).count()
+    reserved = {"_asof_ts", "_is_ref", "_has_dup"}
+    clashes = (
+        (set(left.columns) & ({c + suffix for c in rcols} | reserved))
+        | (set(right.columns) & reserved)
+        | ({"_f_" + c for c in rcols} & set(left.columns))
     )
-    if dup:
+    if clashes:
         raise ValueError(
-            "asof_join right side has duplicate (by, ts) rows — aggregate it "
-            "first (arbitrary-duplicate selection is engine-nondeterministic)"
+            f"asof_join column-name collisions {sorted(clashes)}: rename the "
+            f"inputs or pass a different suffix (silent overwrite would corrupt "
+            f"the fill)"
         )
     tagged_right = right.select(
         F.col(by),
@@ -59,15 +69,35 @@ def asof_join(
     u = tagged_left.unionByName(tagged_right, allowMissingColumns=True)
     # at equal timestamps the reference row must precede the probe row so
     # the running last() already covers it (ASOF's >= contract)
-    w = (
-        W.partitionBy(by)
-        .orderBy(F.col("_asof_ts").asc(), F.col("_is_ref").desc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    order = [F.col("_asof_ts").asc(), F.col("_is_ref").desc()]
+    w = W.partitionBy(by).orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    # two ref rows with equal (by, ts) sit adjacent under this sort — a
+    # lag over the SAME window ordering detects them with no extra
+    # exchange, and the full-partition max turns it into a per-key flag
+    dup_here = (
+        (F.col("_is_ref") == 1)
+        & (F.lag("_is_ref").over(W.partitionBy(by).orderBy(*order)) == 1)
+        & (F.lag("_asof_ts").over(W.partitionBy(by).orderBy(*order)) == F.col("_asof_ts"))
+    )
+    w_full = W.partitionBy(by).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     filled = u.select(
-        "*", *[F.last(c + suffix, ignorenulls=True).over(w).alias("_f_" + c) for c in rcols]
+        "*",
+        F.max(dup_here.cast("int")).over(w_full).alias("_has_dup"),
+        *[F.last(c + suffix, ignorenulls=True).over(w).alias("_f_" + c) for c in rcols],
+    )
+    guard = F.when(
+        F.col("_has_dup") == 1,
+        F.raise_error(
+            F.lit(
+                "asof_join right side has duplicate (by, ts) rows — aggregate "
+                "it first (arbitrary-duplicate selection is engine-"
+                "nondeterministic)"
+            )
+        ),
     )
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col("_f_" + c).alias(c + suffix) for c in rcols
+        F.coalesce(guard, F.col("_f_" + c)).alias(c + suffix) for c in rcols
     ]
     return filled.filter(F.col("_is_ref") == 0).select(*out_cols)

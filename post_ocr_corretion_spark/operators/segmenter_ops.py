@@ -78,6 +78,18 @@ def build_segmenter_broadcast(
 
     path = sidecar_path or resolve_sidecar_path(spark, prefix="segmenter_sidecar")
     if path is None:
+        freqs = corpus_word_frequencies(docs)
+        # same fallback bound as the scorer (pipeline.build_scorer_broadcast):
+        # a driver fit is only safe for vocabularies the driver can hold
+        from ..pipeline import AUTO_BLOOM_VOCAB_THRESHOLD
+
+        n = freqs.count()
+        if n > AUTO_BLOOM_VOCAB_THRESHOLD:
+            raise ValueError(
+                f"no shared sidecar location on a non-local master and the "
+                f"segmenter vocabulary ({n} words) exceeds the driver-fit "
+                f"fallback bound; set spark.post_ocr.sidecarDir"
+            )
         import warnings
 
         warnings.warn(
@@ -85,7 +97,7 @@ def build_segmenter_broadcast(
             "(set spark.post_ocr.sidecarDir); falling back to the driver fit",
             stacklevel=2,
         )
-        counts = {r.word: r.freq for r in corpus_word_frequencies(docs).collect()}
+        counts = {r.word: r.freq for r in freqs.collect()}
         return spark.sparkContext.broadcast(ViterbiSegmenter(counts))
     corpus_word_frequencies(docs).write.mode("overwrite").parquet(path)
     return spark.sparkContext.broadcast(SidecarSegmenter(path))

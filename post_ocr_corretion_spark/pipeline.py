@@ -97,6 +97,19 @@ def build_scorer_broadcast(
 
     path = sidecar_path or resolve_sidecar_path(spark)
     if path is None:
+        # the driver fit is only a safe fallback for vocabularies the
+        # driver can hold; above the Bloom threshold refuse loudly (one
+        # policy with scorer_from_spark) instead of collecting a 10^8-word
+        # list whose OOM arrives long after the easy-to-miss warning
+        n = lexicon_df.count()
+        thr = AUTO_BLOOM_VOCAB_THRESHOLD if bloom_threshold is None else bloom_threshold
+        if n > thr:
+            raise ValueError(
+                f"no shared sidecar location on a non-local master and the "
+                f"vocabulary ({n} words) exceeds the driver-fit fallback bound "
+                f"({thr}); set spark.post_ocr.sidecarDir / --sidecar-path, or "
+                f"use fit='distributed' (its Bloom auto-switch ships no files)"
+            )
         import warnings
 
         warnings.warn(

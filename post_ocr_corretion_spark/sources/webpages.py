@@ -48,3 +48,21 @@ def webpages(docs: DataFrame) -> DataFrame:
 
 def webpages_from_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webpages(read_documents(spark, sf_dir))
+
+
+def replicate_docs(docs: DataFrame, n: int) -> DataFrame:
+    """Deterministically replicate the documents table ×n
+    (doc_id' = doc_id + 10^7·k): pages are pure functions of doc_id, so
+    the result IS a larger instance of the same table (scaling
+    benchmarks, --replicate). The multiplier term must be LONG — an
+    int32 k×10^7 overflows under ANSI mode at k > 214 (r3 fix; this
+    helper exists so that cast lives in exactly one place)."""
+    if n <= 1:
+        return docs
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("doc_id", F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000))
+        .drop("k")
+    )

@@ -47,10 +47,17 @@ def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
     multiset, independent of Arrow chunk arrival order (checkpoint
     replays reproduce it exactly).
 
-    Late rows (ts < max(batch ts) − ttl) are NOT silently lost: a url
-    whose only sightings are late still EMITS if first-seen, but late
-    sightings never enter or refresh state — the entry would already be
-    expired by its own timestamp — so a later re-delivery re-emits."""
+    TTL semantics are a true PER-ENTRY sliding window (round-3 review
+    fix): each url's sightings are chained in ascending event time — a
+    sighting more than ``ttl`` after the previous one re-emits, anything
+    closer is suppressed and refreshes the entry. Late rows therefore
+    both EMIT when first-seen and ENTER state (so a late re-delivery
+    inside the window is suppressed, not re-emitted). A url emits at most
+    once per micro-batch (chains with several > ttl gaps inside one batch
+    collapse to the single sort-min representative). Entries are evicted
+    only once the GLOBAL watermark passes ``entry_ts + ttl`` — at that
+    point any row the entry could still suppress would be dropped by the
+    engine's watermark filter anyway, so eviction never changes output."""
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if getattr(state, "hasTimedOut", False):
@@ -78,35 +85,48 @@ def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
         seen_ts: dict[str, int] = (
             dict(zip(state.get[0], state.get[1])) if state.exists else {}
         )
-        horizon = int(batch["ts"].max()) - ttl_seconds
-        # evict expired entries BEFORE membership checks so a url
-        # re-delivered after the window counts as first-seen again
-        seen_ts = {u: t for u, t in seen_ts.items() if t >= horizon}
-        # representatives come from the WHOLE batch (late rows included)
-        # under the same sort-min rule as the non-TTL branch, so a url
-        # seen only via late rows is emitted rather than dropped
+        # per-url event-time chains: ascending sightings, emit on any
+        # gap > ttl from the previous sighting (or no prior entry),
+        # every sighting refreshes — order-deterministic by construction
+        emit_urls: set[str] = set()
+        for u, grp in batch.groupby("url", sort=True):
+            t_last = seen_ts.get(u)
+            for t in sorted(int(t) for t in grp["ts"]):
+                if t_last is None or t - t_last > ttl_seconds:
+                    emit_urls.add(u)
+                t_last = t if t_last is None else max(t_last, t)
+            seen_ts[u] = t_last
         reps = batch.sort_values(names, kind="mergesort").drop_duplicates("url", keep="first")
-        out = reps.loc[[u not in seen_ts for u in reps["url"]], names]
-        # only in-window sightings enter/refresh state; a late row's entry
-        # would be expired by its own ts, so it leaves no state behind
-        in_window = batch[batch["ts"] >= horizon]
-        for u, t in zip(in_window["url"], in_window["ts"]):
-            t = int(t)
-            seen_ts[u] = max(t, seen_ts.get(u, t))  # every sighting refreshes
+        out = reps.loc[[u in emit_urls for u in reps["url"]], names]
+        # evict only entries the engine's GLOBAL watermark has passed
+        # (entry_ts + ttl < wm): rows those entries could still suppress
+        # are below the watermark and get dropped before reaching us, so
+        # this compaction is output-invariant. The unit-test harness has
+        # no watermark → no compaction there (AttributeError branch).
+        try:
+            wm_s = state.getCurrentWatermarkMs() / 1000.0
+        except AttributeError:
+            wm_s = None
+        if wm_s and wm_s > 0:
+            seen_ts = {u: t for u, t in seen_ts.items() if t + ttl_seconds >= wm_s}
         items = sorted(seen_ts.items())
         if items:
             state.update(([u for u, _ in items], [t for _, t in items]))
             # arm the idle-bucket sweep: when the GLOBAL watermark (the
             # engine's cross-bucket clock, delay = ttl) passes the newest
-            # entry's raw ts, horizon > newest ts everywhere, so the whole
-            # bucket is expired. setTimeoutTimestamp must exceed the
-            # current watermark, hence the clamp.
+            # entry's raw ts, every entry is expired and the whole bucket
+            # can drop. setTimeoutTimestamp must exceed the current
+            # watermark, hence the clamp. Only the unit-test harness
+            # lacks these APIs (AttributeError); real engine errors must
+            # surface, not silently disable the sweep.
             newest_ms = max(t for _, t in items) * 1000
             try:
                 wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(max(newest_ms, wm + 1000))
-            except Exception:
-                pass  # NoTimeout harness (unit tests drive fn directly)
+                set_timeout = state.setTimeoutTimestamp
+            except AttributeError:
+                pass
+            else:
+                set_timeout(max(newest_ms, wm + 1000))
         elif state.exists:
             state.remove()
         if len(out):

@@ -29,25 +29,29 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """The shared session-window aggregation (ONE definition for the
+    batch `sessionize` registry query and the streaming form below —
+    gap/rounding changes live here exactly once, r3 review): columns
+    (user_id, w struct<start,end>, n_events, total_value)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 def session_stats(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Native session-window aggregation (gap-merged event sessions), one
     logical plan for batch AND stream — the streaming form of the
     `sessionize` registry query (whose oracle is the classical
     gaps-and-islands SQL). Streaming needs the watermark so closed
     sessions can finalize."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return (
-        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
-            "n_events",
-            "total_value",
-        )
+    return session_agg(events, gap, watermark).select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        "n_events",
+        "total_value",
     )
 
 

@@ -48,11 +48,28 @@ def test_asof_matches_brute_force(spark):
 
 
 def test_asof_refuses_duplicate_right_keys(spark):
+    """Duplicate (by, ts) reference rows raise AT EXECUTION via the
+    in-plan raise_error guard (lazy — building the plan launches no
+    validation job; r3 review), still loudly before any wrong row is
+    returned."""
     left = spark.createDataFrame([(1, "a", 10, 1.0)], "lid int, key string, ts int, lval double")
     right = spark.createDataFrame(
         [("a", 8, 1.0), ("a", 8, 2.0)], "key string, ts int, rval double"
     )
-    with pytest.raises(ValueError, match="duplicate"):
+    df = asof_join(left, right, by="key")  # plan builds fine, no job
+    with pytest.raises(Exception, match="duplicate"):
+        df.collect()
+
+
+def test_asof_refuses_column_collisions(spark):
+    """A left column that collides with a suffixed right column (or the
+    internal scratch names) must refuse loudly — silent overwrite would
+    corrupt the fill."""
+    left = spark.createDataFrame(
+        [(1, "a", 10, 9.9)], "lid int, key string, ts int, rval_right double"
+    )
+    right = spark.createDataFrame([("a", 8, 1.0)], "key string, ts int, rval double")
+    with pytest.raises(ValueError, match="collision"):
         asof_join(left, right, by="key")
 
 

@@ -175,3 +175,26 @@ def test_xref_stream_refused_loudly():
     objstm = pdf.replace(b"/Type /Catalog", b"/Type /ObjStm", 1)
     with _pytest.raises(ValueError, match="cross-reference"):
         extract_pdf_real(objstm)
+
+
+def test_marker_bytes_inside_stream_payloads_do_not_refuse():
+    """r3 review: refusal markers (/XRef, /Encrypt, /Type0) occurring as
+    raw bytes INSIDE a compressed payload must not refuse the document —
+    checks run on the structural view with stream data blanked."""
+    import zlib as _zlib
+
+    content = b"BT 1 0 0 1 10 700 Tm (real text) Tj ET"
+    # craft an extra XObject-ish stream whose RAW payload contains the
+    # marker byte sequences; it is skipped (/XObject) but scanned
+    payload = b"garbage /XRef /Encrypt /Type0 /ObjStm /CMap garbage"
+    main = _zlib.compress(content, 9)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Length " + str(len(main)).encode() + b" /Filter /FlateDecode >>\n"
+        b"stream\n" + main + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(payload)).encode() + b" /XObject true >>\n"
+        b"stream\n" + payload + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    text, spans = extract_pdf_real(pdf)
+    assert text == "real text"

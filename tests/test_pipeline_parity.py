@@ -189,12 +189,10 @@ def test_lexicon_from_base_table_is_byte_identical_under_replication(spark, docs
 
     from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
 
+    from post_ocr_corretion_spark.sources.webpages import replicate_docs
+
     base = _docs_df(spark, docs_rows[:40])
-    replicated = (
-        base.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(2))))
-        .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(10_000_000))
-        .drop("k")
-    )
+    replicated = replicate_docs(base, 3)
     cols = ["url", "extracted_text", "corrected_text"]
     slow = {r.url: r for r in run_pipeline_from_docs(spark, replicated).select(cols).collect()}
     fast = {

@@ -257,11 +257,13 @@ class _FakeState:
         self.removed = True
 
 
-def test_ttl_late_rows_emit_but_leave_no_state():
-    """ADVICE r2: a url whose only sighting is LATE (ts < batch max − ttl)
-    still emits if first-seen — never silently lost — but leaves no state
-    entry, so a later re-delivery re-emits (it is already expired by its
-    own timestamp)."""
+def test_ttl_late_rows_emit_and_enter_state():
+    """ADVICE r2 + r3 review fix: a url whose only sighting is LATE
+    (ts far behind the batch max) still emits when first-seen — never
+    silently lost — AND enters state, so a re-delivery within ttl of it
+    is SUPPRESSED (the r3 review found the stateless variant re-emitted
+    on every late re-delivery); a re-delivery more than ttl later
+    legitimately re-emits."""
     import pandas as pd
 
     from post_ocr_corretion_spark.streaming.dedup import _make_first_seen_fn
@@ -269,19 +271,24 @@ def test_ttl_late_rows_emit_but_leave_no_state():
     cols = ["url", "ts", "payload"]
     fn = _make_first_seen_fn(cols, ttl_seconds=100)
     st = _FakeState()
-    # batch max ts = 1000 → horizon 900; u_late@500 is out of the window
     batch = pd.DataFrame(
         [("u_late", 500, "backfill"), ("u_fresh", 1000, "live")], columns=cols
     )
     out = pd.concat(list(fn((0,), iter([batch]), st)), ignore_index=True)
     assert sorted(out["url"]) == ["u_fresh", "u_late"]  # late row NOT dropped
-    assert st.value[0] == ["u_fresh"]  # but only in-window sightings hold state
+    assert st.value[0] == ["u_fresh", "u_late"]  # late sighting holds state too
 
-    # a repeat of the late url in a later batch re-emits (no state entry)
-    batch2 = pd.DataFrame([("u_late", 510, "again")], columns=cols)
-    fn2 = _make_first_seen_fn(cols, ttl_seconds=100)
-    out2 = pd.concat(list(fn2((0,), iter([batch2]), st)), ignore_index=True)
-    assert list(out2["url"]) == ["u_late"]
+    # re-delivery WITHIN ttl of the late sighting: suppressed (review fix)
+    batch2 = pd.DataFrame([("u_late", 560, "again")], columns=cols)
+    out2 = list(fn((0,), iter([batch2]), st))
+    assert out2 == []
+    # ...and the suppressed sighting refreshed the entry to 560
+    assert dict(zip(st.value[0], st.value[1]))["u_late"] == 560
+
+    # re-delivery MORE than ttl later: sliding window expired → re-emits
+    batch3 = pd.DataFrame([("u_late", 700, "expired")], columns=cols)
+    out3 = pd.concat(list(fn((0,), iter([batch3]), st)), ignore_index=True)
+    assert list(out3["url"]) == ["u_late"]
 
 
 def test_canonical_representative_rule_is_shared():
