@@ -1051,8 +1051,10 @@ def q_d5_word_ids(spark, sf):
     of the DISTINCT VOCABULARY — a bounded model artifact (like the IVF
     centroid fit), not the corpus; the corpus-sized side only does the
     broadcast join. For 10^9-word vocabularies swap the rank for
-    a sortWithinPartitions + per-partition offset scan (two passes, fully
-    distributed) — the id assignment contract (sorted order) is unchanged."""
+    operators/lexicon.dict_encode_distributed (range partition +
+    per-partition offsets + local rank — fully distributed, equality-
+    tested against this global rank in tests/test_lexicon_layout.py);
+    the id assignment contract (sorted order) is unchanged."""
     from post_ocr_corretion_spark.functions.text import words_on_space
 
     docs = _t(spark, sf, "documents")
