@@ -336,31 +336,44 @@ def run_arrow_sweep() -> None:
     from post_ocr_corretion_spark.session import get_spark
 
     spark = get_spark(app_name="arrow-sweep", cores=CPUS)
+    session_default = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
     import __spark_entry__ as entrymod
 
     q = entrymod.queries()["flagship_correct"]
-    _run_noop(q(spark, "/root/testdata/sf0.001"))  # warm-up
+    # warm up on the SAME dataset the sweep measures (ADVICE r3: a
+    # hard-coded smoke path breaks under a different SPARK_GRAFT_SF_DIR)
+    _run_noop(q(spark, SF_DIR))
     sizes = [int(x) for x in os.environ.get("SPARK_GRAFT_ARROW_SIZES", "1024,2048,8192,32768").split(",")]
     results = {}
+    if session_default not in sizes:
+        sizes.append(session_default)
+    repeats = int(os.environ.get("SPARK_GRAFT_ARROW_REPEATS", "3"))
     for s in sizes:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(s))
         ts = []
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.time()
             _run_noop(q(spark, SF_DIR))
             ts.append(round(time.time() - t0, 3))
         results[s] = {"sec": min(ts), "raw": ts}
     spark.stop()
+    best = min(results, key=lambda k: results[k]["sec"])
+    # the sweep's contract with session.py (VERDICT r3 item 2): the
+    # pinned default must sit inside the noise band of the measured
+    # optimum, or the sweep says so loudly (non-zero exit for CI use)
+    noise_band = 1.20
+    default_ok = results[session_default]["sec"] <= results[best]["sec"] * noise_band
     out = {
         "metric": "arrow_batch_sweep_flagship_sec",
         "unit": "sec",
         "levels": {str(k): v for k, v in results.items()},
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
-        "session_default": 8192,
+        "session_default": session_default,
+        "best": best,
+        "default_within_noise_band": default_ok,
     }
     print(json.dumps(out))
-    best = min(results, key=lambda k: results[k]["sec"])
     secs = [v["sec"] for v in results.values()]
     spread_pct = round((max(secs) / min(secs) - 1) * 100, 1)
     # the conclusion is DERIVED from this run's numbers, not hard-coded
@@ -375,13 +388,20 @@ def run_arrow_sweep() -> None:
         f"matters here; consider pinning {best}"
     )
     rows = "\n".join(f"| {k} | {v['sec']} | {v['raw']} |" for k, v in results.items())
+    band_line = (
+        f"session default {session_default} is WITHIN the {round((noise_band-1)*100)}% "
+        f"noise band of the optimum ({best})"
+        if default_ok
+        else f"session default {session_default} is OUTSIDE the {round((noise_band-1)*100)}% "
+        f"noise band of the optimum ({best}) — re-pin session.py"
+    )
     block = (
         "<!-- ARROW_SWEEP_BEGIN -->\n"
         f"`python bench.py --arrow-sweep` (flagship, sf{out['sf']}, local[{CPUS}],\n"
-        "best-of-2 with raw repeats disclosed). The session default is\n"
-        f"maxRecordsPerBatch=8192 (session.py); measured optimum this run: {best};\n"
-        f"{takeaway}. Re-run on target hardware before tuning.\n\n"
-        "| maxRecordsPerBatch | sec (best of 2) | raw |\n|---|---|---|\n"
+        f"best-of-{repeats} with raw repeats disclosed). The session default is\n"
+        f"maxRecordsPerBatch={session_default} (session.py); measured optimum this run: {best};\n"
+        f"{band_line}; {takeaway}. Re-run on target hardware before tuning.\n\n"
+        f"| maxRecordsPerBatch | sec (best of {repeats}) | raw |\n|---|---|---|\n"
         f"{rows}\n"
         "<!-- ARROW_SWEEP_END -->"
     )
@@ -393,6 +413,8 @@ def run_arrow_sweep() -> None:
         new = old.rstrip() + "\n\n## Arrow batch-size sweep — measured\n\n" + block + "\n"
     with open("PLANS.md", "w") as f:
         f.write(new)
+    if not default_ok:
+        sys.exit(3)  # stale session default — the assertion VERDICT r3 item 2 asks for
 
 
 def _write_baseline_md(out: dict) -> None:

@@ -117,12 +117,22 @@ def dict_encode_distributed(vocab: DataFrame, num_partitions: int = 8) -> DataFr
     Equal to ``row_number() OVER (ORDER BY word)`` (tested), but every
     heavy step is distributed; the only coordination is the
     ``num_partitions``-row offsets table, exactly like the range
-    partitioner's own bound sampling. Columns: (word, wid)."""
+    partitioner's own bound sampling. Columns: (word, wid).
+
+    The range partitioning is MATERIALIZED once (eager localCheckpoint)
+    before anything reads it (ADVICE r3): repartitionByRange samples
+    range bounds per computation and Spark documents its output as
+    possibly inconsistent across recomputes, so letting the counts job
+    and the returned plan each recompute the shuffle could place a word
+    in different partitions in the two jobs — corrupting the prefix
+    offsets into duplicate/skipped wids. Checkpointing pins one
+    partition assignment for both consumers (and truncates lineage)."""
     parts = (
         vocab.select("word")
         .distinct()
         .repartitionByRange(num_partitions, F.col("word"))
         .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = {r.pid: r.cnt for r in parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets, acc = {}, 0

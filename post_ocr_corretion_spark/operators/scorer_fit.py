@@ -138,6 +138,21 @@ class SidecarLexicon:
             _SIDECAR_CACHE[self.path] = ws
         return ws
 
+    def row_count(self) -> int:
+        """Word count from the parquet FOOTERS — no data read, no Spark
+        job; the free by-product of the distributed write that the
+        pipeline's auto-Bloom threshold check rides (VERDICT r3 item 2:
+        the default path used to pay an extra count() job for this)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet parts under lexicon sidecar {self.path}")
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
     def __contains__(self, word: str) -> bool:
         return word in self._load()
 

@@ -112,21 +112,25 @@ def _make_first_seen_fn(names: list[str], ttl_seconds: int | None):
         items = sorted(seen_ts.items())
         if items:
             state.update(([u for u, _ in items], [t for _, t in items]))
-            # arm the idle-bucket sweep: when the GLOBAL watermark (the
-            # engine's cross-bucket clock, delay = ttl) passes the newest
-            # entry's raw ts, every entry is expired and the whole bucket
-            # can drop. setTimeoutTimestamp must exceed the current
-            # watermark, hence the clamp. Only the unit-test harness
-            # lacks these APIs (AttributeError); real engine errors must
-            # surface, not silently disable the sweep.
-            newest_ms = max(t for _, t in items) * 1000
+            # arm the idle-bucket sweep AT THE NEWEST ENTRY'S EXPIRY
+            # (newest_ts + ttl), not its raw sighting time (ADVICE r3): an
+            # entry with last sighting T keeps suppressing rows with
+            # ts ∈ (T, T+ttl], and those rows only become engine-droppable
+            # once the GLOBAL watermark passes T+ttl — firing earlier
+            # would drop live state and wrongly re-emit a late
+            # re-delivery with ts ∈ (wm, T+ttl] as first-seen.
+            # setTimeoutTimestamp must exceed the current watermark,
+            # hence the clamp. Only the unit-test harness lacks these
+            # APIs (AttributeError); real engine errors must surface,
+            # not silently disable the sweep.
+            expiry_ms = (max(t for _, t in items) + ttl_seconds) * 1000
             try:
                 wm = state.getCurrentWatermarkMs()
                 set_timeout = state.setTimeoutTimestamp
             except AttributeError:
                 pass
             else:
-                set_timeout(max(newest_ms, wm + 1000))
+                set_timeout(max(expiry_ms, wm + 1000))
         elif state.exists:
             state.remove()
         if len(out):
@@ -179,10 +183,20 @@ def first_seen_pages(pages: DataFrame, ttl_seconds: int | None = None) -> DataFr
 
 
 BLOOM_STATE_SCHEMA = "bits binary, m int, k int"
+BLOOM_OUTPUT_SCHEMA = "url string, bucket int, saturated boolean"
+
+# a Bloom filter's design point is ≤50% bits set (at optimal k, exactly
+# the fill reached by the n it was sized for); past it the fpp blows
+# through (1/2)^k and fresh urls start silently dropping — so the
+# operator FLAGS it per emitted row instead of degrading silently
+# (VERDICT r3 item 8)
+BLOOM_SATURATION_FILL = 0.5
 
 
 def _make_bloom_dedup_fn(m_bits: int, k: int):
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         from ..core.bloom import BloomFilter
 
         if state.exists:
@@ -197,7 +211,17 @@ def _make_bloom_dedup_fn(m_bits: int, k: int):
                     bf.add(url)
                     fresh.append(url)
         state.update((bytes(bf.bits), bf.m, bf.k))
-        yield pd.DataFrame({"url": fresh, "bucket": [key[0]] * len(fresh)})
+        # set-bit count over the packed bit array: one popcount per batch
+        # (m/8 bytes), the saturation check the sizing contract promises
+        fill = float(np.unpackbits(np.frombuffer(bytes(bf.bits), dtype=np.uint8)).sum()) / bf.m
+        saturated = fill > BLOOM_SATURATION_FILL
+        yield pd.DataFrame(
+            {
+                "url": fresh,
+                "bucket": [key[0]] * len(fresh),
+                "saturated": [saturated] * len(fresh),
+            }
+        )
 
     return fn
 
@@ -213,13 +237,17 @@ def first_seen_urls_bloom(
     price is a documented false-positive rate (a never-seen url can be
     wrongly dropped) that grows with fill factor — size m_bits for the
     expected distinct-urls-per-bucket at fpp, exactly like the scorer's
-    membership filter (core/bloom.py)."""
+    membership filter (core/bloom.py).  Emitted rows carry a
+    ``saturated`` flag: true once the bucket's filter exceeds its design
+    fill (>50% bits set — the point past which fpp blows through the
+    (1/2)^k spec and fresh urls start silently dropping), so an
+    undersized filter is observable downstream instead of silent."""
     bucketed = pages.select("url").withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
     )
     return bucketed.groupBy("bucket").applyInPandasWithState(
         _make_bloom_dedup_fn(m_bits, k),
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=BLOOM_OUTPUT_SCHEMA,
         stateStructType=BLOOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

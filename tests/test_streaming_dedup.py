@@ -310,6 +310,75 @@ def test_canonical_representative_rule_is_shared():
         assert tuple(out.iloc[0]) == expected, f"ttl={ttl}"
 
 
+def test_bloom_saturation_flag():
+    """VERDICT r3 item 8: an undersized Bloom filter must FLAG saturation
+    (set-bit fraction past the 50% design fill) on emitted rows instead
+    of silently dropping fresh urls at a blown fpp."""
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.dedup import _make_bloom_dedup_fn
+
+    fn = _make_bloom_dedup_fn(m_bits=64, k=7)
+    st = _FakeState()
+    # 3 urls × 7 hashes ≤ 21 of 64 bits: under design fill
+    small = pd.DataFrame({"url": [f"u{i}" for i in range(3)]})
+    out1 = pd.concat(list(fn((0,), iter([small]), st)), ignore_index=True)
+    assert not out1["saturated"].any()
+    # +100 urls drive the 64-bit filter far past 50% set bits
+    big = pd.DataFrame({"url": [f"v{i}" for i in range(100)]})
+    out2 = pd.concat(list(fn((0,), iter([big]), st)), ignore_index=True)
+    assert len(out2) > 0 and out2["saturated"].all()
+
+
+def test_ttl_sweep_not_armed_before_entry_expiry(spark, tmp_path):
+    """ADVICE r3: the idle-bucket timeout must arm at the newest entry's
+    EXPIRY (ts+ttl), not its raw ts. Regression: watermark advances past
+    an entry's sighting but NOT past sighting+ttl — the entry must stay
+    live, so a late re-delivery inside (wm, ts+ttl] is still SUPPRESSED
+    (the pre-fix code dropped the bucket and re-emitted it)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            first_seen_urls(
+                spark.readStream.schema(TS_SCHEMA).parquet(src), ttl_seconds=100
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    url = "https://h0.example.com/half-idle"
+    spark.createDataFrame([(url, 1000)], TS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert spark.read.parquet(sink).count() == 1
+
+    # another bucket's clock row moves the global watermark to
+    # 1150 − ttl = 1050: PAST the entry's sighting (1000), BEFORE its
+    # expiry (1100) — the half-idle bucket must NOT be swept
+    spark.createDataFrame(
+        [("https://clock.example.com/t", 1150)], TS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    # re-delivery at 1060 ∈ (wm=1050, expiry=1100]: within the sliding
+    # window of the (still-live) entry → suppressed, not re-emitted
+    spark.createDataFrame([(url, 1060)], TS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    urls_out = [r.url for r in spark.read.parquet(sink).collect()]
+    assert urls_out.count(url) == 1, "early sweep re-emitted a suppressed url"
+
+
 def test_idle_bucket_state_swept_by_global_watermark(spark, tmp_path):
     """VERDICT r2 item 4: a bucket that stops receiving traffic has its
     state removed once OTHER buckets' flow advances the global watermark
