@@ -139,15 +139,21 @@ def asof_join(
     )
 
     # fill-distance arithmetic: timestamps via fractional epoch seconds
-    # (cast-to-double keeps sub-second precision, unlike unix_timestamp;
-    # the tz shift of a _ntz interpretation cancels in the difference),
-    # numeric ts columns as-is
-    ts_is_time = dict(u.dtypes)["_asof_ts"].startswith("timestamp")
+    # (cast-to-double keeps sub-second precision, unlike unix_timestamp).
+    # TIMESTAMP_NTZ has no direct double cast — route it through the
+    # session-tz timestamp first; the tz shift is identical on both
+    # operands and cancels in the difference.
+    ts_type = dict(u.dtypes)["_asof_ts"]
+
+    def _secs(col):
+        if ts_type == "timestamp_ntz":
+            return col.cast("timestamp").cast("double")
+        if ts_type.startswith("timestamp"):
+            return col.cast("double")
+        return col
 
     def dist(fill_ts_col):
-        a = F.col("_asof_ts").cast("double") if ts_is_time else F.col("_asof_ts")
-        b = fill_ts_col.cast("double") if ts_is_time else fill_ts_col
-        return F.abs(a - b)
+        return F.abs(_secs(F.col("_asof_ts")) - _secs(fill_ts_col))
 
     ts_key = right_ts  # the suffixed right ts rides in rcols
     if direction == "backward":

@@ -147,11 +147,13 @@ def extract_features(blobs: DataFrame, every_ms: int = 1000) -> DataFrame:
     return blobs.select("blob_id", "kind", "media", "meta").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synthetic_blobs(spark, n: int = 32) -> DataFrame:
-    """Deterministic fixture blob table: REAL PNG and baseline-JPEG images
-    (gradient patterns; every other image blob is JPEG, core/jpeg.py) and
-    REAL WAV clips (sine-ish integer waves); video stays an opaque fake
-    container (codecs out of scope)."""
+def _blob_rows(n: int = 32) -> list[tuple[int, str, bytes, dict, str]]:
+    """Pure-Python fixture rows (blob_id, kind, media, meta,
+    expected_decoder). ``expected_decoder`` is generation-side knowledge —
+    WHICH encoder produced the bytes — recorded so the driver oracle can
+    check the Spark decode path's format dispatch without ever running a
+    decoder itself (VERDICT r3 item 3: the deterministic metadata subset
+    is a pure function of the generator)."""
     from ..core.jpeg import encode_jpeg_baseline
     from ..core.media import encode_png, encode_wav
 
@@ -164,15 +166,41 @@ def synthetic_blobs(spark, n: int = 32) -> DataFrame:
             img = np.stack(
                 [(x * 7 + i) % 256, (y * 11 + 2 * i) % 256, (x + y + 3 * i) % 256], axis=2
             ).astype(np.uint8)
-            media = encode_png(img) if (i // 3) % 2 == 0 else encode_jpeg_baseline(img, quality=95)
+            if (i // 3) % 2 == 0:
+                media, expected = encode_png(img), "png"
+            else:
+                media, expected = encode_jpeg_baseline(img, quality=95), "jpeg"
             meta = {"width": w, "height": h, "duration_ms": None}
         elif kind == "audio":
             t = np.arange(800 + 40 * i)
             samples = (3000 * np.sin(t * (0.02 + 0.001 * i)) + (i % 5) * 100).astype(np.int16)
-            media = encode_wav(samples, framerate=8000)
+            media, expected = encode_wav(samples, framerate=8000), "wav"
             meta = {"width": None, "height": None, "duration_ms": int(len(t) * 1000 / 8000)}
         else:
-            media = (f"fake-video-container-{i}-" + "x" * (i % 7)).encode()
+            media, expected = (f"fake-video-container-{i}-" + "x" * (i % 7)).encode(), "fake"
             meta = {"width": None, "height": None, "duration_ms": 3500 + i * 100}
-        rows.append((i, kind, media, meta))
-    return spark.createDataFrame(rows, BLOB_SCHEMA)
+        rows.append((i, kind, media, meta, expected))
+    return rows
+
+
+def expected_blob_features(n: int = 32) -> list[tuple[int, str, str, int, int]]:
+    """(blob_id, kind, decoder, n_bytes, n_frames) the extract_features
+    pass MUST produce over synthetic_blobs(n), derived purely from the
+    GENERATOR (encoder choice, emitted byte length, declared duration) —
+    no decoder runs here, so a broken PNG/JPEG/WAV decode (which degrades
+    to decoder='fake') mismatches the oracle instead of passing
+    circularly."""
+    return [
+        (i, kind, expected, len(media), len(frame_sample_offsets(meta["duration_ms"])) if kind == "video" else 0)
+        for i, kind, media, meta, expected in _blob_rows(n)
+    ]
+
+
+def synthetic_blobs(spark, n: int = 32) -> DataFrame:
+    """Deterministic fixture blob table: REAL PNG and baseline-JPEG images
+    (gradient patterns; every other image blob is JPEG, core/jpeg.py) and
+    REAL WAV clips (sine-ish integer waves); video stays an opaque fake
+    container (codecs out of scope)."""
+    return spark.createDataFrame(
+        [(i, kind, media, meta) for i, kind, media, meta, _ in _blob_rows(n)], BLOB_SCHEMA
+    )

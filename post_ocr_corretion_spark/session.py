@@ -57,9 +57,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # larger Arrow batches amortize the JVM↔Python transfer: measured
-        # +17% on the fused extract+correct stage at 32 cores vs 2048
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # sweep-chosen (bench.py --arrow-sweep, PLANS.md): the r3 sweep
+        # measured 2048 fastest on the flagship (3.445 s vs 3.608 s at
+        # 8192 and a 3× cliff at 32768), so the default IS the measured
+        # optimum; the sweep asserts this default stays within 20% of
+        # whatever it measures (exit 3 otherwise), so a stale pin fails
+        # loudly instead of hiding (VERDICT r3 item 2)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # split large inputs so a partition's rows fit executor memory at
         # target SF (the brief's maxPartitionBytes sizing; 128 MiB pairs
         # with the shuffle-partition count above)

@@ -1,0 +1,180 @@
+"""Streaming backward as-of join (VERDICT r3 item 7): the stateful-
+streaming variant of operators/asof.py's union-window shape.
+
+Why the batch plan doesn't stream as-is: the batch operator is a window
+function (running ``last(ignorenulls)`` over an ordered per-key frame),
+and Structured Streaming does not support window functions — order over
+an unbounded, out-of-order stream is undefined until the watermark
+closes it. The streaming formulation therefore becomes a stateful
+operator with watermark-gated emission:
+
+- probes (left rows) and references (right rows) arrive tagged on ONE
+  union stream, keyed by ``by`` (the same union shape as batch);
+- a probe at event time T is answered only once the GLOBAL watermark
+  passes T — at that point no reference with ts <= T can still arrive
+  (the engine drops rows behind the watermark), so the backward fill
+  ``max ref_ts <= T`` is final and the emission is exactly the batch
+  answer;
+- state per key holds the still-unanswered probes and the references
+  the future can still need. References are COMPACTED: every ref above
+  the watermark is kept (a future probe may land between any two), but
+  of the refs at-or-below the watermark only the newest survives —
+  every future probe has ts > wm, so older refs below wm can never be
+  its nearest-prior. State is therefore bounded by the in-flight window,
+  not the stream length;
+- an EventTimeTimeout armed at the oldest pending probe's event time
+  keeps quiet keys draining: when other keys' traffic advances the
+  global watermark past a pending probe, the timeout fires and emits it
+  even though its own key received no further rows.
+
+Ties at equal timestamps include the reference (the batch ``>=``
+contract) and duplicate (by, ts) references are refused loudly — both
+pinned to operators/asof.py so batch/stream parity holds row-for-row
+(tests/test_streaming_asof.py drives both paths over the same data).
+
+Scope/shape notes: event times are LONG epoch seconds (like the
+streaming dedup's ttl mode) and buffered rows ride the state as JSON
+strings — fine for the operator's semantics and tests; a
+production-hardened variant would pin an Arrow-typed state schema per
+use site. Forward/nearest directions do NOT stream this way: a forward
+fill at probe time T needs the first ref >= T, which is only final once
+the watermark passes that REF — emission would be gated on an unbounded
+future (no ref may ever come), so only a tolerance-bounded forward
+variant is well-defined; it composes from this operator by REFLECTING
+event time around a base constant (t' = BASE − t — pure negation would
+land below Spark's initial epoch-0 watermark and be dropped as late),
+which the parity test demonstrates.
+"""
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ASOF_STATE_SCHEMA = "rows array<string>"
+
+
+def _make_asof_state_fn(by: str, lcols: list[str], rcols: list[str], suffix: str, out_names: list[str]):
+    """State entries are {"t": ts, "r": 0|1, "d": {col: value}} JSON blobs;
+    decisions are a pure function of (state multiset, batch multiset,
+    watermark) — chunk order never matters because everything is buffered
+    and sorted before any emission."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        entries = [json.loads(s) for s in (state.get[0] if state.exists else [])]
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                entries.append(
+                    {"t": int(row["_ts"]), "r": int(row["_is_ref"]), "d": json.loads(row["_data"])}
+                )
+        try:
+            wm = state.getCurrentWatermarkMs() / 1000.0
+        except AttributeError:  # unit-test harness without an engine
+            wm = 0.0
+        refs = sorted((e for e in entries if e["r"] == 1), key=lambda e: e["t"])
+        for a, b in zip(refs, refs[1:]):
+            if a["t"] == b["t"]:
+                raise ValueError(
+                    "streaming asof: duplicate (by, ts) reference rows — aggregate "
+                    "the reference stream first (same contract as the batch operator)"
+                )
+        probes = [e for e in entries if e["r"] == 0]
+        # STRICTLY below the watermark: a row at exactly wm is not late
+        # yet, so a ref at ts == probe ts could still arrive — emitting
+        # at <= would make the equal-ts tie depend on arrival order
+        ready = sorted(
+            (p for p in probes if p["t"] < wm),
+            key=lambda p: (p["t"], json.dumps(p["d"], sort_keys=True)),
+        )
+        pending = [p for p in probes if p["t"] >= wm]
+        out_rows = []
+        for p in ready:
+            fill = None
+            for r in refs:  # refs sorted asc; last with t <= probe t wins
+                if r["t"] <= p["t"]:
+                    fill = r
+                else:
+                    break
+            rec = {c: p["d"].get(c) for c in lcols}
+            for c in rcols:
+                rec[c + suffix] = fill["d"].get(c) if fill else None
+            out_rows.append(rec)
+        # compact refs: everything above wm survives; below wm only the
+        # newest can ever be a future probe's nearest-prior
+        live_refs = [r for r in refs if r["t"] > wm]
+        below = [r for r in refs if r["t"] <= wm]
+        if below:
+            live_refs.append(below[-1])
+        keep = pending + live_refs
+        if keep:
+            state.update((sorted(json.dumps(e, sort_keys=True) for e in keep),))
+            if pending:
+                oldest = min(p["t"] for p in pending) * 1000
+                try:
+                    wm_ms = state.getCurrentWatermarkMs()
+                    set_timeout = state.setTimeoutTimestamp
+                except AttributeError:
+                    pass
+                else:
+                    set_timeout(max(oldest, wm_ms + 1000))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return fn
+
+
+def streaming_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_right",
+    delay_seconds: int = 0,
+) -> DataFrame:
+    """Backward as-of join of two STREAMING DataFrames. ``left_ts`` /
+    ``right_ts`` are LONG epoch seconds; the watermark rides them with
+    ``delay_seconds`` allowed lateness. Output schema = left columns +
+    right's non-key columns suffixed (nulls when no at-or-before ref
+    exists) — identical to the batch ``asof_join``, which the parity
+    test runs on the same rows."""
+    lcols = list(left.columns)
+    rcols = [c for c in right.columns if c != by]
+    out_fields = [left.schema[c] for c in lcols] + [
+        T.StructField(f.name + suffix, f.dataType, True)
+        for f in right.schema.fields
+        if f.name != by
+    ]
+    out_schema = T.StructType(out_fields)
+    tagged_l = left.select(
+        F.col(by),
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.to_json(F.struct(*lcols)).alias("_data"),
+        F.lit(0).alias("_is_ref"),
+    )
+    tagged_r = right.select(
+        F.col(by),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.to_json(F.struct(*rcols)).alias("_data"),
+        F.lit(1).alias("_is_ref"),
+    )
+    u = (
+        tagged_l.unionByName(tagged_r)
+        .withColumn("_evt", F.timestamp_seconds(F.col("_ts")))
+        .withWatermark("_evt", f"{delay_seconds} seconds")
+    )
+    fn = _make_asof_state_fn(by, lcols, rcols, suffix, [f.name for f in out_fields])
+    return u.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
