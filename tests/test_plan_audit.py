@@ -103,6 +103,26 @@ def test_new_tpch_shapes_broadcast_their_dims(spark):
         assert "BroadcastHashJoin" in strategies, name
 
 
+def test_d5_gated_plan_has_no_single_task_sort(spark):
+    """VERDICT r3 item 5 'done' criterion: the d5_word_ids gate runs the
+    DISTRIBUTED dictionary encode — its explain must contain no
+    unpartitioned window (the old ``row_number() OVER (ORDER BY word)``
+    planned Exchange SinglePartition + a one-task global sort). The
+    distributed plan's only window is partitioned by pid."""
+    import re
+
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["d5_word_ids"](spark, SF))
+    assert "SinglePartition" not in plan, "single-task exchange in the d5 plan"
+    # every Window spec must carry a non-empty partition list
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)*?)(?=^\(\d+\))", plan, re.M):
+        block = m.group(0)
+        pb = re.search(r"partitionBy=\[(.*?)\]", block)
+        if pb is not None:
+            assert pb.group(1).strip() != "", f"unpartitioned window:\n{block}"
+
+
 def test_sessionize_plans_native_session_window(spark):
     """The sessionize entry must use Spark's native session-window
     aggregation (no per-row Python, one shuffle on the grouping key)."""
