@@ -1338,6 +1338,105 @@ def q_interval_join(spark, sf):
     return interval_overlap_join(iv, cell_size=3600, by="user_id", id_col="id")
 
 
+def q_except_all_intersect_all(spark, sf):
+    """Multiset set ops (exceptAll / intersectAll — bag semantics with
+    multiplicities, unlike the DISTINCT u2/u3 forms): nation keys of
+    customers vs suppliers, duplicates preserved. Oracle: DuckDB's
+    EXCEPT ALL / INTERSECT ALL."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    ex = c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    ia = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    return ex.unionByName(ia).groupBy("op", "nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_explode_outer(spark, sf):
+    """Null-preserving explode (explode_outer / posexplode_outer): rows
+    whose array is empty survive with a NULL element — the LEFT-JOIN-
+    unnest semantics plain explode silently drops."""
+    d = _t(spark, sf, "documents")
+    arr = F.filter(F.split("text", " ", -1), lambda w: F.length(w) > 6)
+    return d.select("doc_id", F.posexplode_outer(arr).alias("pos", "word"))
+
+
+def q_map_hof(spark, sf):
+    """Map higher-order functions beyond map_props' keys/element_at:
+    transform_values, map_filter, and map_zip_with (self-zip doubling),
+    re-serialized deterministically via sorted entries."""
+    e = _t(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big = F.map_filter(m, lambda k, v: v > 5)
+    summed = F.map_zip_with(m, doubled, lambda k, v1, v2: v1 + v2)
+
+    def ser(mp):
+        entries = F.transform(
+            F.array_sort(F.map_keys(mp)), lambda k: F.concat_ws("=", k, F.element_at(mp, k))
+        )
+        return F.array_join(entries, ",")
+
+    return e.select(
+        "event_id",
+        ser(doubled).alias("doubled"),
+        ser(big).alias("big_only"),
+        ser(summed).alias("tripled"),
+    )
+
+
+def q_date_functions(spark, sf):
+    """Date/time scalar family (absent in the reference — SURVEY §2.9
+    'Date functions: none'; an analytics engine needs them): parts,
+    truncation, arithmetic, last_day — all with exact DuckDB analogs."""
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_end"),
+    )
+
+
+def q_string_functions(spark, sf):
+    """String scalar breadth: translate, lpad, split_part, replace,
+    repeat, instr/strpos, reverse, md5, ascii — each with an exact
+    DuckDB twin on the same column (initcap/overlay were dropped: DuckDB
+    has no equivalents to oracle them against)."""
+    p = _t(spark, sf, "part")
+    s = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.translate(s, "aeiou", "AEIOU").alias("tr"),
+        F.lpad(s, 25, ".").alias("lp"),
+        F.split_part(s, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.replace(s, F.lit(" "), F.lit("_")).alias("repl"),
+        F.repeat(F.substring(s, 1, 2), 3).alias("rep"),
+        F.instr(s, "a").alias("first_a"),
+        F.reverse(s).alias("rev"),
+        F.md5(s).alias("h"),
+        F.ascii(s).alias("first_cp"),
+    )
+
+
+def q_null_semantics(spark, sf):
+    """NULL-handling semantics family: coalesce, nullif, null-safe
+    equality (<=> ≡ IS NOT DISTINCT FROM), and count(col) vs count(*)
+    asymmetry over a column made sparse with nullif."""
+    e = _t(spark, sf, "events")
+    sparse = F.nullif(F.col("event_type"), F.lit("view"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(sparse).alias("n_nonnull"),
+        F.sum(sparse.eqNullSafe(F.lit(None).cast("string")).cast("int")).alias("n_nullsafe_null"),
+        F.max(F.coalesce(sparse, F.lit("(viewed)"))).alias("max_coalesced"),
+    )
+
+
 def q_w_value_functions(spark, sf):
     """Window VALUE functions (first_value / last_value / nth_value) over
     a bounded ROWS frame — the §2.5 family not yet exercised by the
@@ -1551,6 +1650,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "textstats_quality": q_textstats_quality,
         "d2_split_to_fit": q_d2_split_to_fit,
+        # -- r4 late additions (local-gated now; rotate into the driver
+        # window in r5 with the rest of the never-gated entries) --
+        "except_all_intersect_all": q_except_all_intersect_all,
+        "explode_outer": q_explode_outer,
+        "map_hof": q_map_hof,
+        "date_functions": q_date_functions,
+        "string_functions": q_string_functions,
+        "null_semantics": q_null_semantics,
     }
 
 
@@ -1819,6 +1926,76 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "except_all_intersect_all": """
+            WITH c AS (SELECT c_nationkey AS nk FROM customer),
+                 s AS (SELECT s_nationkey AS nk FROM supplier),
+                 ex AS (SELECT 'except_all' AS op, nk FROM (SELECT nk FROM c EXCEPT ALL SELECT nk FROM s)),
+                 ia AS (SELECT 'intersect_all' AS op, nk FROM (SELECT nk FROM c INTERSECT ALL SELECT nk FROM s))
+            SELECT op, nk, count(*) AS n
+            FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+            GROUP BY op, nk
+        """,
+        "explode_outer": """
+            WITH base AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 6) AS arr
+              FROM documents
+            )
+            SELECT doc_id, CAST(unnest(range(len(arr))) AS INTEGER) AS pos, unnest(arr) AS word
+            FROM base WHERE len(arr) > 0
+            UNION ALL
+            SELECT doc_id, NULL, NULL FROM base WHERE len(arr) = 0
+        """,
+        "map_hof": """
+            WITH kv AS (
+              SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
+            ), vals AS (
+              SELECT event_id, k, CAST(json_extract(props, '$.' || k) AS INTEGER) AS v FROM kv
+            ), agg AS (
+              SELECT event_id,
+                     string_agg(k || '=' || (v * 2), ',' ORDER BY k) AS doubled,
+                     coalesce(string_agg(CASE WHEN v > 5 THEN k || '=' || v END, ',' ORDER BY k), '') AS big_only,
+                     string_agg(k || '=' || (v * 3), ',' ORDER BY k) AS tripled
+              FROM vals GROUP BY event_id
+            )
+            SELECT e.event_id,
+                   coalesce(a.doubled, '') AS doubled,
+                   coalesce(a.big_only, '') AS big_only,
+                   coalesce(a.tripled, '') AS tripled
+            FROM events e LEFT JOIN agg a ON e.event_id = a.event_id
+        """,
+        "date_functions": """
+            SELECT o_orderkey,
+                   year(o_orderdate) AS y,
+                   quarter(o_orderdate) AS q,
+                   month(o_orderdate) AS m,
+                   day(o_orderdate) AS dom,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                   strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+                   strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+                   datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_end
+            FROM orders
+        """,
+        "string_functions": """
+            SELECT p_partkey,
+                   translate(p_name, 'aeiou', 'AEIOU') AS tr,
+                   lpad(p_name, 25, '.') AS lp,
+                   split_part(p_name, ' ', 2) AS second_word,
+                   replace(p_name, ' ', '_') AS repl,
+                   repeat(substr(p_name, 1, 2), 3) AS rep,
+                   instr(p_name, 'a') AS first_a,
+                   reverse(p_name) AS rev,
+                   md5(p_name) AS h,
+                   ascii(p_name) AS first_cp
+            FROM part
+        """,
+        "null_semantics": """
+            SELECT user_id,
+                   count(*) AS n_rows,
+                   count(nullif(event_type, 'view')) AS n_nonnull,
+                   CAST(sum(CAST(nullif(event_type, 'view') IS NOT DISTINCT FROM NULL AS INTEGER)) AS BIGINT) AS n_nullsafe_null,
+                   max(coalesce(nullif(event_type, 'view'), '(viewed)')) AS max_coalesced
+            FROM events GROUP BY user_id
         """,
         "w_value_functions": """
             SELECT o_custkey, o_orderkey,
