@@ -69,6 +69,9 @@ def get_spark(
         # with the shuffle-partition count above)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # the shipped Python DataSource (sources/synthetic_source.py)
+        # implements pushFilters; Spark 4.1 gates that behind this flag
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -20,8 +20,12 @@ operator with watermark-gated emission:
   the watermark is kept (a future probe may land between any two), but
   of the refs at-or-below the watermark only the newest survives —
   every future probe has ts > wm, so older refs below wm can never be
-  its nearest-prior. State is therefore bounded by the in-flight window,
-  not the stream length;
+  its nearest-prior. State is therefore bounded by the in-flight window
+  PLUS one retained last-reference row per key: that row is the
+  backward fill for arbitrarily-late future probes and is semantically
+  required (evicting it would turn their fills null) — the same
+  per-key-last-value retention any keyed cache carries; on unbounded
+  key spaces TTL it at the application layer;
 - an EventTimeTimeout armed at the oldest pending probe's event time
   keeps quiet keys draining: when other keys' traffic advances the
   global watermark past a pending probe, the timeout fires and emits it
