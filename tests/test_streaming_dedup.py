@@ -3,6 +3,7 @@ micro-batch runs sharing a checkpoint (state restore included)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from post_ocr_corretion_spark.streaming.dedup import first_seen_urls
 
@@ -308,6 +309,50 @@ def test_canonical_representative_rule_is_shared():
         out = pd.concat(list(fn((0,), iter([batch]), _FakeState())), ignore_index=True)
         assert len(out) == 1
         assert tuple(out.iloc[0]) == expected, f"ttl={ttl}"
+
+
+def test_native_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark's NATIVE streaming dedup (dropDuplicatesWithinWatermark) —
+    the engine-provided alternative to the custom stateful operator:
+    within-delay re-deliveries are dropped, and state for a key can be
+    evicted once the watermark passes its event time + delay. This test
+    pins the semantic CONTRAST with first_seen_urls(ttl): the native op
+    guarantees dedup only for duplicates within the watermark delay (a
+    later re-delivery MAY re-emit — it did here after the state sweep),
+    while the custom operator implements the per-entry sliding window
+    the crawl feed needs (every sighting refreshes)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(TS_SCHEMA)
+            .parquet(src)
+            .withColumn("_evt", F.timestamp_seconds("ts"))
+            .withWatermark("_evt", "100 seconds")
+            .dropDuplicatesWithinWatermark(["url"])
+        )
+        q = (
+            stream.select("url", "ts")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    urls = [(f"https://h{i}.example.com/n{i}", 1000) for i in range(10)]
+    spark.createDataFrame(urls, TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(sink).count() == 10
+
+    # re-delivery within the delay window: dropped
+    spark.createDataFrame(urls[:5], TS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(sink).count() == 10
 
 
 def test_bloom_saturation_flag():
