@@ -1,0 +1,107 @@
+"""Spark 4 Python DataSource WRITER: a manifest-committed parquet sink.
+
+The io/snapshots.py commit protocol (write parts → atomically publish a
+manifest; readers only trust manifested files) re-expressed through
+Spark's official sink API (``DataSourceWriter``): each task writes its
+partition to a uniquely-named parquet part and returns a
+``WriterCommitMessage`` carrying (file, rows); the DRIVER's ``commit``
+publishes the manifest atomically (tmp + rename) only after every task
+succeeded, and ``abort`` removes the orphaned parts. A reader that
+trusts only the manifest (``read_manifest`` below) therefore never
+observes a half-written result — torn writes leave orphan part files
+that the manifest simply never mentions.
+
+This is the task-commit/job-commit split every distributed sink needs
+at 1000-executor scale: task outputs are speculatively written (safe
+under retries — unique names, last manifest wins), and visibility is a
+single driver-side atomic rename.
+
+Usage:
+    spark.dataSource.register(ManifestParquetDataSource)
+    df.write.format("manifest_parquet").option("path", p).mode("append").save()
+    read_manifest(spark, p)   # only manifested parts
+"""
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+@dataclass
+class PartCommit(WriterCommitMessage):
+    file: str
+    rows: int
+
+
+class ManifestParquetWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Runs per task: write this partition to a uniquely-named part
+        (task retries can never collide) and report it for the manifest."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rows = [r.asDict() for r in iterator]
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        if rows:
+            pq.write_table(pa.Table.from_pylist(rows), os.path.join(self.path, fname))
+        return PartCommit(file=fname if rows else "", rows=len(rows))
+
+    def commit(self, messages):
+        """Driver-side job commit: publish the manifest atomically. Runs
+        only after EVERY task reported success."""
+        files = [
+            {"file": m.file, "rows": m.rows}
+            for m in messages
+            if m is not None and m.file
+        ]
+        tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files, "total_rows": sum(x["rows"] for x in files)}, f)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+
+    def abort(self, messages):
+        """Failed job: remove the speculative parts; the manifest was
+        never touched, so readers saw nothing."""
+        for m in messages or []:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestParquetDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool):
+        return ManifestParquetWriter(self.options, overwrite)
+
+
+def read_manifest(spark, path: str):
+    """Read ONLY the parts the manifest publishes — orphans from torn or
+    aborted writes are invisible by construction."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        man = json.load(f)
+    files = [os.path.join(path, x["file"]) for x in man["files"]]
+    if not files:
+        raise ValueError(f"manifest at {path} lists no files")
+    return spark.read.parquet(*files)
