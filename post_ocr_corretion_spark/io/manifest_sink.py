@@ -65,16 +65,25 @@ class ManifestParquetWriter(DataSourceWriter):
 
     def commit(self, messages):
         """Driver-side job commit: publish the manifest atomically. Runs
-        only after EVERY task reported success."""
+        only after EVERY task reported success. ``mode('append')`` merges
+        the new parts into the prior manifest (single-writer contract —
+        concurrent committers need the O_EXCL snapshot-id claims of
+        io/snapshots.py, the full multi-snapshot protocol); overwrite
+        mode publishes only this job's parts (prior parts become
+        manifest-invisible orphans)."""
         files = [
             {"file": m.file, "rows": m.rows}
             for m in messages
             if m is not None and m.file
         ]
+        mpath = os.path.join(self.path, MANIFEST)
+        if not self.overwrite and os.path.exists(mpath):
+            with open(mpath) as f:
+                files = json.load(f)["files"] + files
         tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump({"files": files, "total_rows": sum(x["rows"] for x in files)}, f)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+        os.replace(tmp, mpath)  # atomic publish
 
     def abort(self, messages):
         """Failed job: remove the speculative parts; the manifest was

@@ -44,6 +44,23 @@ def test_orphan_parts_are_invisible_to_manifest_readers(spark, tmp_path):
     assert spark.read.parquet(out).count() == 15  # the hazard, for contrast
 
 
+def test_append_merges_and_overwrite_replaces(spark, tmp_path):
+    spark.dataSource.register(ManifestParquetDataSource)
+    out = str(tmp_path / "sink")
+    spark.range(0, 10).write.format("manifest_parquet").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10, 25).write.format("manifest_parquet").option("path", out).mode(
+        "append"
+    ).save()
+    assert sorted(r.id for r in read_manifest(spark, out).collect()) == list(range(25))
+    spark.range(100, 103).write.format("manifest_parquet").option("path", out).mode(
+        "overwrite"
+    ).save()
+    # overwrite publishes only the new job; old parts become orphans
+    assert sorted(r.id for r in read_manifest(spark, out).collect()) == [100, 101, 102]
+
+
 def test_writer_requires_path(spark):
     spark.dataSource.register(ManifestParquetDataSource)
     with pytest.raises(Exception, match="path"):
