@@ -1437,6 +1437,34 @@ def q_null_semantics(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Exact stratified sampling (operators/sampling.py): per-lang
+    floor(0.2·n) documents, deterministically chosen by md5(doc_id)
+    order — sampleBy's Bernoulli wobble replaced by an engine-portable
+    exact mix (the oracle reproduces the identical choice in DuckDB)."""
+    from post_ocr_corretion_spark.operators.sampling import stratified_sample_exact
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample_exact(d, "lang", 0.2, "doc_id").select("lang", "doc_id")
+
+
+def q_pack_batches(spark, sf):
+    """Greedy sequence packing (operators/sampling.py): per-lang shards
+    scanned in doc_id order, documents packed into ≤1000-char batches
+    (first-fit; oversized docs get their own batch). The DuckDB oracle
+    replays the SAME sequential recursion as a recursive CTE, so the
+    driver gate verifies batch assignments row-for-row — the packing
+    semantics, not just counts."""
+    from post_ocr_corretion_spark.operators.sampling import pack_greedy
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").alias("sz")
+    )
+    return pack_greedy(d, "lang", "doc_id", "sz", budget=1000).select(
+        "lang", "doc_id", "sz", "batch_id"
+    )
+
+
 def q_w_value_functions(spark, sf):
     """Window VALUE functions (first_value / last_value / nth_value) over
     a bounded ROWS frame — the §2.5 family not yet exercised by the
@@ -1653,6 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4 late additions (local-gated now; rotate into the driver
         # window in r5 with the rest of the never-gated entries) --
         "except_all_intersect_all": q_except_all_intersect_all,
+        "stratified_sample": q_stratified_sample,
+        "pack_batches": q_pack_batches,
         "explode_outer": q_explode_outer,
         "map_hof": q_map_hof,
         "date_functions": q_date_functions,
@@ -1926,6 +1956,32 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT lang, doc_id FROM r WHERE rk <= floor(n * 0.2)
+        """,
+        "pack_batches": """
+            WITH RECURSIVE base AS (
+              SELECT lang, doc_id, length(text) AS sz,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents
+            ), packed AS (
+              SELECT lang, doc_id, sz, rn, CAST(1 AS BIGINT) AS batch_id, sz AS acc
+              FROM base WHERE rn = 1
+              UNION ALL
+              SELECT b.lang, b.doc_id, b.sz, b.rn,
+                     CASE WHEN p.acc + b.sz > 1000 THEN p.batch_id + 1 ELSE p.batch_id END,
+                     CASE WHEN p.acc + b.sz > 1000 THEN b.sz ELSE p.acc + b.sz END
+              FROM packed p JOIN base b ON b.lang = p.lang AND b.rn = p.rn + 1
+            )
+            SELECT lang, doc_id, sz, batch_id FROM packed
         """,
         "except_all_intersect_all": """
             WITH c AS (SELECT c_nationkey AS nk FROM customer),

@@ -1,0 +1,87 @@
+"""Training-data sampling + batch-packing operators.
+
+``stratified_sample_exact``: per-stratum sampling with EXACT counts —
+``df.sampleBy`` is Bernoulli (±√n wobble per stratum and seed-dependent
+across Spark versions), which breaks reproducible training mixes. Here
+each stratum keeps exactly ``floor(frac · n)`` rows, chosen by a
+deterministic pseudo-random hash order (md5 of the id rendered as text
+— reproducible bit-for-bit in ANY engine, which is what lets DuckDB
+oracle it). One shuffle on the stratum key, one window; at 100 TB the
+per-stratum ordering is the same sort a groupBy would pay, and skewed
+strata fall under AQE.
+
+``pack_greedy``: sequence packing — the LLM-training step that fills
+fixed token budgets with consecutive documents. Greedy first-fit in a
+deterministic order is inherently SEQUENTIAL per shard, so it runs as
+one ``applyInPandas`` pass per shard (Arrow-batched, the sanctioned
+Python escape for order-dependent per-group logic — SURVEY §2.10 M7);
+shards are independent, so the parallelism unit is the shard, exactly
+how a 100 TB corpus would be packed (thousands of shards, one linear
+scan each). Documents larger than the budget get their own batch. The
+DuckDB oracle replays the same recursion as a recursive CTE, so the
+gate proves the sequential semantics, not just row counts.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+
+def _hash_order(id_col: Column) -> Column:
+    # md5 over the DECIMAL string rendering: identical in DuckDB
+    # (md5(CAST(x AS VARCHAR))), unlike xxhash64 which only Spark has
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample_exact(
+    df: DataFrame, stratum_col: str, frac: float, id_col: str
+) -> DataFrame:
+    """Exactly floor(frac·n) rows per stratum, deterministically chosen
+    by md5(id) order (ties impossible for distinct ids)."""
+    if not (0.0 <= frac <= 1.0):
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    w = W.partitionBy(stratum_col).orderBy(_hash_order(F.col(id_col)), F.col(id_col))
+    wn = W.partitionBy(stratum_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") <= F.floor(F.col("_n") * F.lit(frac)))
+        .drop("_rk", "_n")
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy first-fit packing: scan each shard in ``order_col`` order,
+    accumulate ``size_col`` into the current batch, open a new batch when
+    the next row would exceed ``budget``. Output = input columns +
+    ``batch_id`` (1-based per shard)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    out_schema = T.StructType(df.schema.fields + [T.StructField("batch_id", T.LongType(), False)])
+    cols = df.columns
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        batch, acc, out = 0, 0, []
+        for size in pdf[size_col]:
+            s = int(size)
+            if batch == 0 or acc + s > budget:
+                batch += 1
+                acc = s
+            else:
+                acc += s
+            out.append(batch)
+        pdf = pdf[cols].copy()
+        pdf["batch_id"] = out
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, out_schema)
