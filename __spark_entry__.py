@@ -1437,6 +1437,27 @@ def q_null_semantics(spark, sf):
     )
 
 
+def q_udtf_chunks(spark, sf):
+    """Python UDTF via SQL LATERAL (functions/udtfs.py): 10-word chunks
+    with character offsets back into the document text — the
+    user-defined TABLE function surface, Arrow-batched
+    (ArrowEvalPythonUDTF in the plan, never BatchEvalPython). The chunk
+    contract is pinned so the oracle replays offsets via list slicing +
+    prefix sums."""
+    from post_ocr_corretion_spark.functions.udtfs import register_udtfs
+    from post_ocr_corretion_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    register_udtfs(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk, c.start
+        FROM docs_udtf d, LATERAL word_chunks(d.text) c
+        """
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Exact stratified sampling (operators/sampling.py): per-lang
     floor(0.2·n) documents, deterministically chosen by md5(doc_id)
@@ -1683,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all_intersect_all": q_except_all_intersect_all,
         "stratified_sample": q_stratified_sample,
         "pack_batches": q_pack_batches,
+        "udtf_chunks": q_udtf_chunks,
         "explode_outer": q_explode_outer,
         "map_hof": q_map_hof,
         "date_functions": q_date_functions,
@@ -1956,6 +1978,21 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "udtf_chunks": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ), e AS (
+              SELECT doc_id, words,
+                     CAST(unnest(range((len(words) + 9) // 10)) AS INTEGER) AS chunk_id
+              FROM s
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(words[chunk_id * 10 + 1 : (chunk_id + 1) * 10], ' ') AS chunk,
+                   CAST(CASE WHEN chunk_id = 0 THEN 0
+                        ELSE list_sum(list_transform(words[1:chunk_id * 10], w -> length(w) + 1))
+                        END AS INTEGER) AS start
+            FROM e
         """,
         "stratified_sample": """
             WITH r AS (

@@ -72,6 +72,9 @@ def get_spark(
         # the shipped Python DataSource (sources/synthetic_source.py)
         # implements pushFilters; Spark 4.1 gates that behind this flag
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # UDTFs plan as ArrowEvalPythonUDTF (vectorized), never
+        # row-pickled Python (functions/udtfs.py)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
