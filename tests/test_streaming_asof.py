@@ -116,6 +116,69 @@ def test_streaming_asof_forward_by_negation(spark, tmp_path):
     assert got == want
 
 
+def test_state_fn_chunk_order_independent():
+    """The state fn's emissions and resulting state are a pure function
+    of (state, batch multiset, watermark) — Arrow chunk order never
+    matters (checkpoint-replay determinism, same contract as the dedup
+    operator's fn)."""
+    import json
+
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.asof import _make_asof_state_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.value = False, None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return 2_000_000  # wm = 2000 s — all fixture probes ready
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    rows = [
+        # (_ts, _is_ref, _data)
+        (100, 1, {"ts": 100, "rval": 1.0}),
+        (150, 0, {"user_id": "k", "ts": 150, "lval": 9.0}),
+        (120, 1, {"ts": 120, "rval": 2.0}),
+        (110, 0, {"user_id": "k", "ts": 110, "lval": 8.0}),
+    ]
+
+    def run(order):
+        fn = _make_asof_state_fn("user_id", ["user_id", "ts", "lval"], ["ts", "rval"], "_right",
+                                 ["user_id", "ts", "lval", "ts_right", "rval_right"])
+        st = FakeState()
+        chunks = [
+            pd.DataFrame(
+                [{"_ts": t, "_is_ref": r, "_data": json.dumps(d)} for t, r, d in part],
+                columns=["_ts", "_is_ref", "_data"],
+            )
+            for part in order
+        ]
+        out = list(fn(("k",), iter(chunks), st))
+        emitted = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+        return emitted.to_dict("records"), st.value
+
+    a = run([rows[:2], rows[2:]])
+    b = run([rows[::-1][:1], rows[::-1][1:]])
+    c = run([rows])
+    assert a == b == c
+    # both probes answered with their nearest-prior ref
+    recs = {r["ts"]: r for r in a[0]}
+    assert recs[110]["rval_right"] == 1.0 and recs[150]["rval_right"] == 2.0
+
+
 def test_streaming_asof_refuses_duplicate_refs(spark, tmp_path):
     src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
     ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
