@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -96,6 +97,52 @@ class ManifestParquetWriter(DataSourceWriter):
                     pass
 
 
+class ManifestStreamWriter(DataSourceStreamWriter):
+    """Streaming form: one manifest PER MICRO-BATCH
+    (``_MANIFEST-<batchId>.json``), published atomically on the driver's
+    batch commit. Exactly-once comes from idempotent replay: a batch
+    re-attempt regenerates parts under fresh unique names and its commit
+    REPLACES that batchId's manifest, so the failed attempt's parts are
+    never manifested — ``read_manifest_stream`` (union of per-batch
+    manifests) can't observe duplicates or torn batches."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_parquet requires .option('path', ...)")
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        rows = [r.asDict() for r in iterator]
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        if rows:
+            pq.write_table(pa.Table.from_pylist(rows), os.path.join(self.path, fname))
+        return PartCommit(file=fname if rows else "", rows=len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        files = [
+            {"file": m.file, "rows": m.rows} for m in messages if m is not None and m.file
+        ]
+        tmp = os.path.join(self.path, f".manifest.{batchId}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"batch_id": batchId, "files": files, "total_rows": sum(x["rows"] for x in files)},
+                f,
+            )
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except FileNotFoundError:
+                    pass
+
+
 class ManifestParquetDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -103,6 +150,23 @@ class ManifestParquetDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return ManifestParquetWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestStreamWriter(self.options)
+
+
+def read_manifest_stream(spark, path: str):
+    """Union of all per-batch manifests — the consistent view of the
+    streaming sink (replayed/aborted attempts are invisible)."""
+    import glob
+
+    files = []
+    for mf in sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json"))):
+        with open(mf) as f:
+            files += [os.path.join(path, x["file"]) for x in json.load(f)["files"]]
+    if not files:
+        raise ValueError(f"no per-batch manifests under {path}")
+    return spark.read.parquet(*files)
 
 
 def read_manifest(spark, path: str):

@@ -61,6 +61,46 @@ def test_append_merges_and_overwrite_replaces(spark, tmp_path):
     assert sorted(r.id for r in read_manifest(spark, out).collect()) == [100, 101, 102]
 
 
+def test_streaming_sink_per_batch_manifests(spark, tmp_path):
+    """Streaming form: the synthetic crawl feed drains through the
+    manifest sink — one manifest per micro-batch, union view consistent,
+    orphans invisible."""
+    from post_ocr_corretion_spark.io.manifest_sink import read_manifest_stream
+    from post_ocr_corretion_spark.sources.synthetic_source import SyntheticPagesDataSource
+
+    spark.dataSource.register(ManifestParquetDataSource)
+    spark.dataSource.register(SyntheticPagesDataSource)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("synthetic_pages")
+            .option("rate", 20)
+            .option("n", 40)
+            .load()
+            .select("doc_id", "url", "lang")
+            .writeStream.format("manifest_parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # batch 0: ids 0..19
+    drain()  # batch 1: ids 20..39
+    manifests = sorted(f for f in os.listdir(out) if f.startswith("_MANIFEST-"))
+    assert len(manifests) == 2
+    got = sorted(r.doc_id for r in read_manifest_stream(spark, out).collect())
+    assert got == list(range(40))
+    # orphan part (torn attempt) never becomes visible
+    spark.range(900, 905).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS url", "'xx' AS lang"
+    ).toPandas().to_parquet(os.path.join(out, "part-orphan.parquet"))
+    assert read_manifest_stream(spark, out).count() == 40
+
+
 def test_writer_requires_path(spark):
     spark.dataSource.register(ManifestParquetDataSource)
     with pytest.raises(Exception, match="path"):
