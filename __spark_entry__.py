@@ -653,6 +653,28 @@ def q_streaming_window(spark, sf):
     )
 
 
+def q_sliding_window(spark, sf):
+    """SLIDING event-time windows (2-hour windows every 1 hour — each
+    event lands in TWO buckets), the §2.11 window family tumbling
+    `streaming_window` doesn't exercise. Oracle: every event contributes
+    to the window starting at its hour and the one before (UNION ALL of
+    the two shifts). NTZ-safe string formatting as in streaming_window."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 def q_flagship_correct(spark, sf):
     """Rows-only check: the full extract+correct pipeline (beam search is
     not SQL-expressible; parity is enforced against the pinned oracle in
@@ -1705,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_batches": q_pack_batches,
         "udtf_chunks": q_udtf_chunks,
+        "sliding_window": q_sliding_window,
         "explode_outer": q_explode_outer,
         "map_hof": q_map_hof,
         "date_functions": q_date_functions,
@@ -1978,6 +2001,17 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "sliding_window": """
+            WITH ev2 AS (
+              SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+              UNION ALL
+              SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H') AS win_start, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM ev2 GROUP BY ws, event_type
         """,
         "udtf_chunks": """
             WITH s AS (
