@@ -653,6 +653,25 @@ def q_streaming_window(spark, sf):
     )
 
 
+def q_array_functions(spark, sf):
+    """Array-function family breadth (set algebra + extrema + indexing
+    over array columns): intersect/except (distinct semantics, order
+    normalized by sorting before serialization), distinct-size, max/min,
+    negative indexing — each with an exact DuckDB list_* twin."""
+    p = _doc_pairs(spark, sf)
+    wa = F.split("ta", " ", -1)
+    wb = F.split("tb", " ", -1)
+    return p.select(
+        "da",
+        F.array_join(F.array_sort(F.array_intersect(wa, wb)), ",").alias("common"),
+        F.array_join(F.array_sort(F.array_except(wa, wb)), ",").alias("only_a"),
+        F.size(F.array_distinct(wa)).alias("n_distinct_a"),
+        F.array_max(wa).alias("wmax"),
+        F.array_min(wb).alias("wmin"),
+        F.element_at(wa, -1).alias("last_word"),
+    )
+
+
 def q_sliding_window(spark, sf):
     """SLIDING event-time windows (2-hour windows every 1 hour — each
     event lands in TWO buckets), the §2.11 window family tumbling
@@ -1728,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": q_pack_batches,
         "udtf_chunks": q_udtf_chunks,
         "sliding_window": q_sliding_window,
+        "array_functions": q_array_functions,
         "explode_outer": q_explode_outer,
         "map_hof": q_map_hof,
         "date_functions": q_date_functions,
@@ -2001,6 +2021,22 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "array_functions": """
+            WITH a AS (SELECT doc_id AS da, text AS ta FROM documents WHERE doc_id % 2 = 0),
+                 b AS (SELECT doc_id - 1 AS da, text AS tb FROM documents WHERE doc_id % 2 = 1),
+                 p AS (
+                   SELECT a.da, string_split(ta, ' ') AS wa, string_split(tb, ' ') AS wb
+                   FROM a JOIN b ON a.da = b.da
+                 )
+            SELECT da,
+                   coalesce(array_to_string(list_sort(list_intersect(wa, wb)), ','), '') AS common,
+                   coalesce(array_to_string(list_sort(list_filter(list_distinct(wa), w -> NOT list_contains(wb, w))), ','), '') AS only_a,
+                   CAST(len(list_distinct(wa)) AS INTEGER) AS n_distinct_a,
+                   list_max(wa) AS wmax,
+                   list_min(wb) AS wmin,
+                   wa[-1] AS last_word
+            FROM p
         """,
         "sliding_window": """
             WITH ev2 AS (
