@@ -75,7 +75,23 @@ def main(argv: list[str] | None = None) -> int:
         "scaling benchmarks; pages are pure functions of doc_id, so this IS "
         "a larger instance of the same table",
     )
+    parser.add_argument(
+        "--source",
+        choices=["parquet", "synthetic"],
+        default="parquet",
+        help="input: the sf-dir documents parquet, or the self-contained "
+        "Spark 4 Python DataSource (sources/synthetic_source.py — no "
+        "testdata needed; corpus size via --n-docs)",
+    )
+    parser.add_argument(
+        "--n-docs",
+        type=int,
+        default=500,
+        help="corpus size when --source synthetic",
+    )
     args = parser.parse_args(argv)
+    if args.source == "synthetic" and args.replicate > 1:
+        parser.error("--replicate applies to the parquet source; size the synthetic corpus with --n-docs")
 
     from pyspark.sql import functions as F
     from pyspark.sql import Observation
@@ -93,7 +109,31 @@ def main(argv: list[str] | None = None) -> int:
     obs = Observation("counters")
 
     def job():
-        if args.replicate > 1:
+        if args.source == "synthetic":
+            from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
+            from post_ocr_corretion_spark.sources.synthetic_source import (
+                SyntheticPagesDataSource,
+            )
+
+            spark.dataSource.register(SyntheticPagesDataSource)
+            pages = spark.read.format("synthetic_pages").option("n", args.n_docs).load()
+            # the source's page table carries the clean text/lang, and the
+            # pipeline's render is the same pure function of (doc_id, text,
+            # lang) that produced the source's html — so feeding the docs
+            # projection reproduces the identical corpus end-to-end
+            docs = pages.select("doc_id", "text", "lang")
+            df = run_pipeline_from_docs(
+                spark,
+                docs,
+                mode=args.mode,
+                fit=args.fit,
+                max_distance=args.max_distance,
+                roulette_seed=args.roulette_seed,
+                spread=args.spread,
+                sidecar_path=args.sidecar_path,
+                bloom_threshold=args.bloom_threshold,
+            )
+        elif args.replicate > 1:
             from post_ocr_corretion_spark.pipeline import run_pipeline_from_docs
             from post_ocr_corretion_spark.sources.webpages import read_documents, replicate_docs
 
