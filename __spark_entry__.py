@@ -653,6 +653,22 @@ def q_streaming_window(spark, sf):
     )
 
 
+def q_pagerank(spark, sf):
+    """Exact integer-arithmetic PageRank (operators/graph.py): 3
+    message-passing iterations over a deterministic event-derived graph
+    in BIGINT micro-units — floor division makes every round
+    bit-reproducible across engines, so an ITERATIVE numeric algorithm
+    gets a hash-exact oracle (the DuckDB side unrolls the same three
+    rounds as chained CTEs)."""
+    from post_ocr_corretion_spark.operators.graph import pagerank_exact
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        (F.col("user_id") % 30).alias("src"), (F.col("event_id") % 30).alias("dst")
+    ).distinct()
+    return pagerank_exact(edges, iters=3).select("node", "rank")
+
+
 def q_array_functions(spark, sf):
     """Array-function family breadth (set algebra + extrema + indexing
     over array columns): intersect/except (distinct semantics, order
@@ -1748,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunks": q_udtf_chunks,
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
+        "pagerank": q_pagerank,
         "explode_outer": q_explode_outer,
         "map_hof": q_map_hof,
         "date_functions": q_date_functions,
@@ -2021,6 +2038,49 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.v, b.v)
                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.35
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT DISTINCT user_id % 30 AS src, event_id % 30 AS dst FROM events
+            ),
+            nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+            meta AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+            r0 AS (
+              SELECT nodes.v, CAST(1000000000000 // m.n AS BIGINT) AS r
+              FROM nodes CROSS JOIN meta m
+            ),
+            s1 AS (
+              SELECT e.dst, SUM(r0.r // deg.d) AS inflow
+              FROM e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n2.v, CAST((15 * (1000000000000 // m.n)) // 100
+                              + (85 * COALESCE(s1.inflow, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n2 CROSS JOIN meta m LEFT JOIN s1 ON s1.dst = n2.v
+            ),
+            s2 AS (
+              SELECT e.dst, SUM(r1.r // deg.d) AS inflow
+              FROM e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n2.v, CAST((15 * (1000000000000 // m.n)) // 100
+                              + (85 * COALESCE(s2.inflow, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n2 CROSS JOIN meta m LEFT JOIN s2 ON s2.dst = n2.v
+            ),
+            s3 AS (
+              SELECT e.dst, SUM(r2.r // deg.d) AS inflow
+              FROM e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ),
+            r3 AS (
+              SELECT n2.v, CAST((15 * (1000000000000 // m.n)) // 100
+                              + (85 * COALESCE(s3.inflow, 0)) // 100 AS BIGINT) AS r
+              FROM nodes n2 CROSS JOIN meta m LEFT JOIN s3 ON s3.dst = n2.v
+            )
+            SELECT v AS node, r AS rank FROM r3
         """,
         "array_functions": """
             WITH a AS (SELECT doc_id AS da, text AS ta FROM documents WHERE doc_id % 2 = 0),
