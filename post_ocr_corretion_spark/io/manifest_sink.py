@@ -16,6 +16,16 @@ at 1000-executor scale: task outputs are speculatively written (safe
 under retries — unique names, last manifest wins), and visibility is a
 single driver-side atomic rename.
 
+Filesystem contract (ADVICE r4): paths are plain ``os``-level paths, so
+driver and executors MUST share the filesystem the path lives on —
+local[*] trivially, NFS/FUSE-mounted HDFS/S3 on a cluster. A
+non-shared-FS deployment needs the same paths routed through a DFS
+client; the commit PROTOCOL (unique part names, manifest-only
+visibility, atomic rename) is FS-agnostic and unchanged. Parts are
+written with the DECLARED writer schema (converted to Arrow), never
+inferred from the rows — a partition whose column is entirely NULL still
+writes the correct type, so mixed-part reads never mistype or drop it.
+
 Usage:
     spark.dataSource.register(ManifestParquetDataSource)
     df.write.format("manifest_parquet").option("path", p).mode("append").save()
@@ -44,25 +54,40 @@ class PartCommit(WriterCommitMessage):
     rows: int
 
 
+def _arrow_schema(spark_schema):
+    """Declared writer schema → pyarrow schema (ADVICE r4: inferring each
+    part's schema from its rows types an all-NULL column as null and
+    breaks mixed-part reads)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
+
+
+def _write_part(path: str, rows: list[dict], schema) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    fname = f"part-{uuid.uuid4().hex}.parquet"
+    if rows:
+        pq.write_table(pa.Table.from_pylist(rows, schema=_arrow_schema(schema)), os.path.join(path, fname))
+    return fname if rows else ""
+
+
 class ManifestParquetWriter(DataSourceWriter):
-    def __init__(self, options, overwrite: bool):
+    def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_parquet requires .option('path', ...)")
+        self.schema = schema
         self.overwrite = overwrite
 
     def write(self, iterator):
         """Runs per task: write this partition to a uniquely-named part
         (task retries can never collide) and report it for the manifest."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.path, exist_ok=True)
         rows = [r.asDict() for r in iterator]
-        fname = f"part-{uuid.uuid4().hex}.parquet"
-        if rows:
-            pq.write_table(pa.Table.from_pylist(rows), os.path.join(self.path, fname))
-        return PartCommit(file=fname if rows else "", rows=len(rows))
+        fname = _write_part(self.path, rows, self.schema)
+        return PartCommit(file=fname, rows=len(rows))
 
     def commit(self, messages):
         """Driver-side job commit: publish the manifest atomically. Runs
@@ -106,21 +131,16 @@ class ManifestStreamWriter(DataSourceStreamWriter):
     never manifested — ``read_manifest_stream`` (union of per-batch
     manifests) can't observe duplicates or torn batches."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_parquet requires .option('path', ...)")
+        self.schema = schema
 
     def write(self, iterator):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(self.path, exist_ok=True)
         rows = [r.asDict() for r in iterator]
-        fname = f"part-{uuid.uuid4().hex}.parquet"
-        if rows:
-            pq.write_table(pa.Table.from_pylist(rows), os.path.join(self.path, fname))
-        return PartCommit(file=fname if rows else "", rows=len(rows))
+        fname = _write_part(self.path, rows, self.schema)
+        return PartCommit(file=fname, rows=len(rows))
 
     def commit(self, messages, batchId: int) -> None:
         files = [
@@ -149,10 +169,10 @@ class ManifestParquetDataSource(DataSource):
         return "manifest_parquet"
 
     def writer(self, schema, overwrite: bool):
-        return ManifestParquetWriter(self.options, overwrite)
+        return ManifestParquetWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
-        return ManifestStreamWriter(self.options)
+        return ManifestStreamWriter(self.options, schema)
 
 
 def read_manifest_stream(spark, path: str):

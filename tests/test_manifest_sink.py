@@ -28,6 +28,26 @@ def test_write_commit_read_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.v) for r in back.collect()) == [(i, 2 * i) for i in range(100)]
 
 
+def test_all_null_column_keeps_declared_type(spark, tmp_path):
+    """ADVICE r4: a task whose partition has an entirely-NULL column must
+    write it with the DECLARED type, not an inferred null type — otherwise
+    the mixed-part read mistypes or drops the column."""
+    spark.dataSource.register(ManifestParquetDataSource)
+    out = str(tmp_path / "sink")
+    # partition by parity: one partition carries only NULL v / NULL s rows
+    df = spark.range(0, 20).selectExpr(
+        "id",
+        "CASE WHEN id % 2 = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(id AS DOUBLE) END AS v",
+        "CASE WHEN id % 2 = 0 THEN CAST(NULL AS STRING) ELSE concat('s', id) END AS s",
+        "id % 2 AS par",
+    ).repartition(2, "par")
+    df.drop("par").write.format("manifest_parquet").option("path", out).mode("append").save()
+    back = read_manifest(spark, out)
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double", "s": "string"}
+    rows = {r.id: (r.v, r.s) for r in back.collect()}
+    assert rows[2] == (None, None) and rows[3] == (3.0, "s3")
+
+
 def test_orphan_parts_are_invisible_to_manifest_readers(spark, tmp_path):
     """A torn write leaves part files the manifest never mentions — the
     manifest reader must not pick them up (plain spark.read.parquet on

@@ -71,6 +71,72 @@ def test_spark_bloom_positions_match_core(spark, fixture_lexicon):
     assert got == want
 
 
+def test_distributed_bloom_blocks_bit_identical(spark, fixture_lexicon):
+    """VERDICT r4 item 1: the executor-assembled block bitmap is
+    bit-for-bit the filter BloomFilter.add() builds — exercised with tiny
+    blocks so the test crosses block boundaries AND truncates the final
+    block (m/8 not a multiple of block_bytes), plus a crafted word whose
+    position hits bit 63 of a 64-bit word (the shiftleft sign bit)."""
+    from post_ocr_corretion_spark.operators.scorer_fit import (
+        bloom_filter_from_blocks,
+        distributed_bloom_blocks,
+    )
+
+    m_bits, k = 1000, 5  # 125 bytes → block sizes 64 + 61 with block_bytes=64
+    words = sorted(fixture_lexicon)
+    # deterministically find a word with a position ≡ 63 (mod 64) so the
+    # packed long's sign bit is exercised on every run
+    i = 0
+    while not any(p % 64 == 63 for p in BloomFilter.positions(f"zz{i}", m_bits, k)):
+        i += 1
+    words.append(f"zz{i}")
+    df = spark.createDataFrame([(w,) for w in words], "word string").repartition(4)
+    got = bloom_filter_from_blocks(
+        distributed_bloom_blocks(df, m_bits, k, block_bytes=64), m_bits, k, block_bytes=64
+    )
+    want = BloomFilter(m_bits, k)
+    for w in words:
+        want.add(w)
+    assert got.bits == want.bits and len(got.bits) == 125
+
+
+def test_bloom_sidecar_lazy_and_picklable(spark, fixture_lexicon, tmp_path):
+    """The bitmap sidecar proxy: pickles as just the path (what a
+    broadcast ships), workers assemble the identical filter lazily, and
+    membership has no false negatives."""
+    import pickle
+
+    from post_ocr_corretion_spark.operators.scorer_fit import SidecarBloom, write_bloom_sidecar
+
+    m_bits, k = 4096, 5
+    df = _lex_df(spark, fixture_lexicon)
+    side = write_bloom_sidecar(df, m_bits, k, str(tmp_path / "bloom"))
+    clone = pickle.loads(pickle.dumps(side))
+    assert isinstance(clone, SidecarBloom) and isinstance(clone, BloomFilter)
+    assert len(pickle.dumps(side)) < 500  # ships the path, not the bitmap
+    want = BloomFilter(m_bits, k)
+    for w in fixture_lexicon:
+        want.add(w)
+    assert clone.bits == want.bits and clone.m == m_bits and clone.k == k
+    assert all(w in clone for w in fixture_lexicon)
+    # membership-only, like BloomFilter: correction._worker_fns keys its
+    # SymSpell-index-vs-probe decision on __iter__'s absence
+    assert not hasattr(clone, "__iter__")
+
+
+def test_bloom_scorer_no_position_collect(spark, fixture_lexicon, monkeypatch):
+    """The production Bloom path must never collect the position stream
+    (the r4 scale-killer): poison distributed_bloom_positions and build."""
+    from post_ocr_corretion_spark.operators import scorer_fit as sfmod
+
+    def boom(*a, **kw):
+        raise AssertionError("production Bloom build touched the position stream")
+
+    monkeypatch.setattr(sfmod, "distributed_bloom_positions", boom)
+    s = sfmod.scorer_from_spark(spark, _lex_df(spark, fixture_lexicon), use_bloom=True, fpp=0.001)
+    assert all(w in s.lexicon for w in fixture_lexicon)
+
+
 def test_bloom_scorer_agrees_where_filter_exact(spark, fixture_lexicon):
     from post_ocr_corretion_spark.operators.scorer_fit import scorer_from_spark
 
@@ -163,3 +229,43 @@ def test_auto_bloom_switch_above_threshold(spark, fixture_lexicon):
         spark, lex_df, fit="distributed", bloom_threshold=10**9
     )
     assert not isinstance(lex2, BloomFilter)
+
+
+def test_auto_bloom_switch_cleans_up_word_sidecar(spark, fixture_lexicon, tmp_path):
+    """ADVICE r4: the word sidecar doubles as the counting pass on the
+    auto-switch branch but must not survive it as an orphan; the Bloom
+    scorer that replaces it is a lazy bitmap sidecar (O(1) driver)."""
+    import os
+
+    from post_ocr_corretion_spark.operators.scorer_fit import SidecarBloom
+    from post_ocr_corretion_spark.pipeline import build_scorer_broadcast
+
+    lex_df = _lex_df(spark, fixture_lexicon)
+    word_dir = str(tmp_path / "lexicon_side")
+    bc, lex = build_scorer_broadcast(
+        spark, lex_df, fit="distributed", sidecar_path=word_dir, bloom_threshold=0
+    )
+    assert isinstance(lex, SidecarBloom)
+    assert not os.path.exists(word_dir)  # no orphaned word parts
+    assert all(w in lex for w in fixture_lexicon)
+
+
+def test_no_shared_path_above_threshold_falls_through_to_bloom(spark, fixture_lexicon):
+    """ADVICE r4 item 1: a non-local master with no shared sidecar dir and
+    an above-threshold vocabulary must get the Bloom scorer (no files to
+    share — driver assembles the bitmap from block rows), not the old
+    ValueError that recommended the very path that raised."""
+    from post_ocr_corretion_spark.operators import scorer_fit as sfmod
+    from post_ocr_corretion_spark.pipeline import build_scorer_broadcast
+
+    lex_df = _lex_df(spark, fixture_lexicon)
+    orig = sfmod.resolve_sidecar_path
+    sfmod.resolve_sidecar_path = lambda *a, **k: None
+    try:
+        bc, lex = build_scorer_broadcast(spark, lex_df, fit="distributed", bloom_threshold=0)
+    finally:
+        sfmod.resolve_sidecar_path = orig
+    assert isinstance(lex, BloomFilter) and type(lex) is BloomFilter  # driver-assembled
+    assert all(w in lex for w in fixture_lexicon)
+    local = NGramScorer(fixture_lexicon)
+    assert np.array_equal(bc.value.log_prob, local.log_prob)

@@ -32,11 +32,11 @@ RIGHT_ROWS = [
 CLOCK = [("zz", 1_000_000, 0.0)]
 
 
-def _drain(spark, src_l, src_r, ckpt, sink, negate=False):
+def _drain(spark, src_l, src_r, ckpt, sink, negate=False, ref_ttl=None):
     left = spark.readStream.schema(L_SCHEMA).parquet(src_l)
     right = spark.readStream.schema(R_SCHEMA).parquet(src_r)
     q = (
-        streaming_asof_join(left, right, by="user_id")
+        streaming_asof_join(left, right, by="user_id", ref_ttl=ref_ttl)
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
@@ -177,6 +177,80 @@ def test_state_fn_chunk_order_independent():
     # both probes answered with their nearest-prior ref
     recs = {r["ts"]: r for r in a[0]}
     assert recs[110]["rval_right"] == 1.0 and recs[150]["rval_right"] == 2.0
+
+
+def test_ref_ttl_expires_retained_reference(spark, tmp_path):
+    """VERDICT r4 item 6: with ref_ttl, a probe within ttl of its
+    reference fills normally, but once the watermark passes ref_ts + ttl
+    the retained last-reference is dropped — a later probe on the same
+    (now quiet) key fills null, the documented bounded-state trade."""
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    TTL = 1000
+
+    _write(spark, [("a", 150, 1.0)], L_SCHEMA, src_l)
+    _write(spark, [("a", 100, 10.0), ("zz", 3000, 0.0)], R_SCHEMA, src_r)
+    _drain(spark, src_l, src_r, ckpt, sink, ref_ttl=TTL)
+    # wm → 3000: probe 150 emits (ref still in state this batch), then
+    # compaction drops the ref (100 + 1000 < 3000)
+    _write(spark, [("zz", 3100, 0.0)], R_SCHEMA, src_r)
+    _drain(spark, src_l, src_r, ckpt, sink, ref_ttl=TTL)
+    # a late probe on the quiet key: its nearest-prior ref has expired
+    _write(spark, [("a", 5000, 2.0)], L_SCHEMA, src_l)
+    _write(spark, [("zz", 1_000_000, 0.0)], R_SCHEMA, src_r)
+    _drain(spark, src_l, src_r, ckpt, sink, ref_ttl=TTL)
+    _write(spark, [("zz", 1_000_100, 0.0)], R_SCHEMA, src_r)
+    _drain(spark, src_l, src_r, ckpt, sink, ref_ttl=TTL)
+
+    got = {r.ts: (r.ts_right, r.rval_right) for r in spark.read.parquet(sink).collect() if r.user_id == "a"}
+    assert got[150] == (100, 10.0)   # within ttl: normal backward fill
+    assert got[5000] == (None, None)  # past ttl: reference expired
+
+
+def test_ref_ttl_state_removed_for_quiet_key():
+    """Unit-level: once the watermark passes ref_ts + ttl and no probes
+    are pending, the key's state is REMOVED entirely (bounded state);
+    without ttl the retained ref keeps the state entry alive."""
+    import json
+
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.asof import _make_asof_state_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.value = False, None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return 5_000_000  # wm = 5000 s
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    def run(ref_ttl):
+        fn = _make_asof_state_fn(
+            "user_id", ["user_id", "ts", "lval"], ["ts", "rval"], "_right",
+            ["user_id", "ts", "lval", "ts_right", "rval_right"], ref_ttl=ref_ttl,
+        )
+        st = FakeState()
+        batch = pd.DataFrame(
+            [{"_ts": 100, "_is_ref": 1, "_data": json.dumps({"ts": 100, "rval": 1.0})}]
+        )
+        list(fn(("k",), iter([batch]), st))
+        return st
+
+    assert run(ref_ttl=None).exists          # retained forever by default
+    assert not run(ref_ttl=1000).exists      # 100 + 1000 < 5000 → swept
 
 
 def test_streaming_asof_refuses_duplicate_refs(spark, tmp_path):
