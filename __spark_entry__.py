@@ -108,6 +108,35 @@ def q_a2_lexicon_words(spark, sf):
     return corpus_words(_t(spark, sf, "documents"))
 
 
+def q_bloom_positions(spark, sf):
+    """The r5 DISTRIBUTED Bloom membership build (operators/scorer_fit.
+    distributed_bloom_blocks — VERDICT r4 item 1) gated cross-engine:
+    the PRODUCTION path runs end to end (executor-side per-64-bit-word
+    ``bit_or`` masks packed into byte blocks), the bitmap's set bits are
+    decoded back to positions IN-PLAN (hex → per-byte → per-bit, pure
+    Catalyst), and the rows must hash-equal DuckDB's independently
+    computed md5 positions (``('0x' || substr(md5(w||'#'||i),1,16))::
+    UBIGINT % m`` — the exact core/bloom.py scheme). Word set = the A2
+    lexicon; m=4096, k=5, 64-byte blocks so the decode crosses block
+    boundaries. Reference analog: the lexicon membership set of
+    correctionSentences.py:35-41 at 10^9-word scale."""
+    from post_ocr_corretion_spark.operators.lexicon import corpus_words
+    from post_ocr_corretion_spark.operators.scorer_fit import distributed_bloom_blocks
+
+    blocks = distributed_bloom_blocks(
+        corpus_words(_t(spark, sf, "documents")), m_bits=4096, k=5, block_bytes=64
+    )
+    return blocks.selectExpr(
+        """
+        explode(flatten(transform(sequence(0, int(length(hex(bits)) / 2) - 1), i ->
+          filter(transform(sequence(0, 7), j ->
+            CASE WHEN (shiftright(cast(conv(substr(hex(bits), cast(2*i+1 AS int), 2), 16, 10) AS int), j) & 1) = 1
+                 THEN cast(512 * block + 8 * i + j AS bigint) END),
+            x -> x IS NOT NULL)))) AS pos
+        """
+    )
+
+
 def q_a3_bucket_hist(spark, sf):
     from post_ocr_corretion_spark.functions.text import bucket_key
     from post_ocr_corretion_spark.operators.lexicon import corpus_words
@@ -571,16 +600,23 @@ def q_ivf_ann_topk(spark, sf):
     working one sits in this band; the ≥0.5 recall assertion on a
     PLANTED-structure corpus lives in tests/test_similarity.py). The
     IVF plan itself (centroid fit, probe pruning, intra-list scan) runs
-    inside the gated query."""
+    inside the gated query — and since r5 the fit is the fully
+    DISTRIBUTED Lloyd's (VERDICT r4 item 4): assignment is a Catalyst
+    argmax over broadcast centroid literals, updates are per-(list, dim)
+    sum/count aggregations, and only the k×d centroid matrix ever
+    reaches the driver — never a vector sample. The verdict margins
+    (full top-5 per qid, recall band) absorb the fit's float-sum-order
+    nondeterminism; the gated ROWS are the exact brute-force top-5
+    either way."""
     from post_ocr_corretion_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
-        kmeans_centroids,
+        kmeans_centroids_distributed,
     )
 
     emb = _emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    cents = kmeans_centroids(emb, k=8, iters=5)
+    cents = kmeans_centroids_distributed(emb, k=8, iters=5)
     ivf = (
         ivf_topk(emb, q, cents, k=5, nprobe=3)
         .select("qid", "vec_id")
@@ -1526,6 +1562,19 @@ def q_stratified_sample(spark, sf):
     return stratified_sample_exact(d, "lang", 0.2, "doc_id").select("lang", "doc_id")
 
 
+def q_stratified_sample_salted(spark, sf):
+    """The skew-proof salted form (VERDICT r4 item 7): identical rows to
+    q_stratified_sample — the global md5 order per stratum is recovered
+    from per-(stratum, hex-prefix bucket) local ranks plus broadcast
+    offsets (the d5 offsets trick), so a 50%-hot stratum sorts across 16
+    tasks instead of one. Same oracle shape as the plain form because
+    the selection IS the same."""
+    from post_ocr_corretion_spark.operators.sampling import stratified_sample_exact_salted
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample_exact_salted(d, "lang", 0.2, "doc_id").select("lang", "doc_id")
+
+
 def q_pack_batches(spark, sf):
     """Greedy sequence packing (operators/sampling.py): per-lang shards
     scanned in doc_id order, documents packed into ≤1000-char batches
@@ -1641,17 +1690,87 @@ def q_unpivot_stats(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
-    # entries of this dict. Round-4 rotation (VERDICT r3 item 4): the 41
-    # entries last driver-verified in r1/r2 come FIRST (stalest first), then
-    # the three rows-only→oracle conversions (wer, multimodal_features,
-    # ivf_ann_topk — VERDICT r3 item 3), the three new r4 asof queries, and
-    # the queries whose CODE changed this round (d5_word_ids on the
-    # distributed plan, asof_events on the rewritten operator, the flagship
-    # pair on the restructured scorer path). Everything past slot 50 was
-    # driver-verified green in r3 with unchanged code and stays covered by
-    # the local gate replica (tests/test_entry_queries.py).
+    # entries of this dict. Round-5 rotation (VERDICT r4 item 2): slots
+    # 1-12 are the twelve r4-tail queries that had never seen the driver;
+    # 13-17 are this round's new/changed code (bloom_positions NEW — the
+    # distributed Bloom build decoded in-plan; ivf_ann_topk now fits its
+    # quantizer with the DISTRIBUTED k-means) plus the flagship trio (last
+    # driver rows r3); 18-50 recycle the stalest r3-verified entries.
+    # Everything past slot 50 was driver-verified green in r4 (or is one
+    # of the ten remaining r3 entries queued for the r6 window, marked
+    # below) and stays covered by the local gate replica
+    # (tests/test_entry_queries.py); tests/test_gate_window.py pins this
+    # window so future rotations can't silently shift the boundary
+    # (ADVICE r4).
     return {
-        # -- last driver-verified in r1/r2 (stalest) --
+        # -- slots 1-12: never driver-gated until now (added post-window in r4) --
+        "pagerank": q_pagerank,
+        "sliding_window": q_sliding_window,
+        "array_functions": q_array_functions,
+        "udtf_chunks": q_udtf_chunks,
+        "stratified_sample": q_stratified_sample,
+        "pack_batches": q_pack_batches,
+        "date_functions": q_date_functions,
+        "string_functions": q_string_functions,
+        "map_hof": q_map_hof,
+        "null_semantics": q_null_semantics,
+        "explode_outer": q_explode_outer,
+        "except_all_intersect_all": q_except_all_intersect_all,
+        # -- slots 13-17: new/changed code this round + the flagship trio --
+        "bloom_positions": q_bloom_positions,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "flagship_correct": q_flagship_correct,
+        "flagship_catalyst": q_flagship_catalyst,
+        "flagship_roulette": q_flagship_roulette,
+        # -- slots 18-50: stalest (last driver-verified r3) --
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "cer": q_cer,
+        "seqeval_f1": q_seqeval_f1,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "textstats_quality": q_textstats_quality,
+        "d2_split_to_fit": q_d2_split_to_fit,
+        "skew_salted_counts": q_skew_salted_counts,
+        "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
+        "streaming_window": q_streaming_window,
+        "w_rows_frame": q_w_rows_frame,
+        "hof_array_ops": q_hof_array_ops,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "grouping_sets_counts": q_grouping_sets,
+        "cms_counts": q_cms_counts,
+        "pivot_returnflag": q_pivot_returnflag,
+        "ntile_quartiles": q_ntile_quartiles,
+        "map_props": q_map_props,
+        "unpivot_stats": q_unpivot_stats,
+        "rollup_cascade": q_rollup_cascade,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "j4_revenue_by_nation": q_j4_revenue_by_nation,
+        "a6_cumulative_share": q_a6_cumulative_share,
+        # ---- slot 51+: new r5 code locally oracle-gated (queued first
+        # for r6 with the r3 remainder below) ----
+        "stratified_sample_salted": q_stratified_sample_salted,
+        # ---- r3-verified remainder, queued for the r6 window ----
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q22_acctbal": q_tpch_q22_acctbal,
+        "m5_indel_ratio": q_m5_indel_ratio,
+        "p3_mark_spaces": q_p3_mark_spaces,
+        "a4_max_len": q_a4_max_len,
+        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
+        "p2_clean_text": q_p2_clean_text,
+        "w7_split_point": q_w7_split_point,
+        "a14_word_diff": q_a14_word_diff,
+        "a15_dataset_analysis": q_a15_dataset_analysis,
+        # ---- slot 61+: driver-verified green in r4, code unchanged ----
         "a5_line_share": q_a5_line_share,
         "lsh_near_dup": q_lsh_near_dup,
         "j3_band_join": q_j3_band_join,
@@ -1692,84 +1811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "token_count": q_token_count,
-        # -- rows-only → oracle-backed conversions (NEW r4 oracles) --
-        "ivf_ann_topk": q_ivf_ann_topk,
         "wer": q_wer,
         "multimodal_features": q_multimodal_features,
-        # -- new r4 queries --
         "asof_events_forward": q_asof_events_forward,
         "asof_events_nearest": q_asof_events_nearest,
         "asof_events_tolerance": q_asof_events_tolerance,
         "w_value_functions": q_w_value_functions,
         "median_mode": q_median_mode,
-        # -- code changed this round: re-gate (the rewritten asof operator
-        # is under gate via the three NEW direction queries above; the
-        # restructured scorer path via the rows-only flagships below plus
-        # the pytest byte-parity lock) --
         "d5_word_ids": q_d5_word_ids,
-        # ---- slot 51+: driver-verified green in r3, code unchanged, or
-        # locked by byte-parity pytest (flagship trio) ----
         "asof_events": q_asof_events,
-        "flagship_correct": q_flagship_correct,
-        "flagship_catalyst": q_flagship_catalyst,
-        "tpch_q4_order_priority": q_tpch_q4_order_priority,
-        "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q22_acctbal": q_tpch_q22_acctbal,
-        "pivot_returnflag": q_pivot_returnflag,
-        "ntile_quartiles": q_ntile_quartiles,
-        "map_props": q_map_props,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "dedup_clusters": q_dedup_clusters,
-        "seqeval_f1": q_seqeval_f1,
-        "skew_salted_counts": q_skew_salted_counts,
-        "hof_array_ops": q_hof_array_ops,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "grouping_sets_counts": q_grouping_sets,
-        "cer": q_cer,
-        "a14_word_diff": q_a14_word_diff,
-        "a15_dataset_analysis": q_a15_dataset_analysis,
-        "w_rows_frame": q_w_rows_frame,
-        "streaming_window": q_streaming_window,
-        "flagship_roulette": q_flagship_roulette,
-        "m5_indel_ratio": q_m5_indel_ratio,
-        "p3_mark_spaces": q_p3_mark_spaces,
-        "a4_max_len": q_a4_max_len,
-        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
-        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "sessionize": q_sessionize,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
-        "interval_join": q_interval_join,
-        "rollup_cascade": q_rollup_cascade,
-        "cms_counts": q_cms_counts,
-        "unpivot_stats": q_unpivot_stats,
-        "p2_clean_text": q_p2_clean_text,
-        "w7_split_point": q_w7_split_point,
-        "j4_revenue_by_nation": q_j4_revenue_by_nation,
-        "a6_cumulative_share": q_a6_cumulative_share,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "textstats_quality": q_textstats_quality,
-        "d2_split_to_fit": q_d2_split_to_fit,
-        # -- r4 late additions (local-gated now; rotate into the driver
-        # window in r5 with the rest of the never-gated entries) --
-        "except_all_intersect_all": q_except_all_intersect_all,
-        "stratified_sample": q_stratified_sample,
-        "pack_batches": q_pack_batches,
-        "udtf_chunks": q_udtf_chunks,
-        "sliding_window": q_sliding_window,
-        "array_functions": q_array_functions,
-        "pagerank": q_pagerank,
-        "explode_outer": q_explode_outer,
-        "map_hof": q_map_hof,
-        "date_functions": q_date_functions,
-        "string_functions": q_string_functions,
-        "null_semantics": q_null_semantics,
     }
 
 
@@ -2124,6 +2174,16 @@ def oracle_sql() -> dict[str, str]:
                         END AS INTEGER) AS start
             FROM e
         """,
+        "stratified_sample_salted": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            )
+            SELECT lang, doc_id FROM r WHERE rk <= floor(n * 0.2)
+        """,
         "stratified_sample": """
             WITH r AS (
               SELECT lang, doc_id,
@@ -2347,6 +2407,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT ch, row_number() OVER (ORDER BY ch) AS idx FROM c WHERE ch <> ''
+        """,
+        "bloom_positions": rf"""
+            WITH w AS (
+              SELECT unnest(string_split(lower(regexp_replace(text, '\\', '', 'g')), ' ')) AS word
+              FROM documents
+            ), s AS (
+              SELECT lower(CASE WHEN length(word) > 0 AND substr(word, length(word), 1) IN {_PUNCT_SQL}
+                          THEN regexp_replace(word, '(.+)[.,!?;]', '\1', 'g')
+                          ELSE word END) AS word
+              FROM w
+            ), lex AS (
+              SELECT DISTINCT word FROM s WHERE length(word) > 0
+            ), hashes AS (
+              SELECT CAST(('0x' || substr(md5(word || '#' || i), 1, 16))::UBIGINT % 4096 AS BIGINT) AS pos
+              FROM lex CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS i)
+            )
+            SELECT DISTINCT pos FROM hashes
         """,
         "a2_lexicon_words": rf"""
             WITH w AS (

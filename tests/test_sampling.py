@@ -23,6 +23,52 @@ def test_stratified_counts_are_exact(spark):
         stratified_sample_exact(df, "stratum", 1.5, "id")
 
 
+def test_salted_sample_identical_rows_and_hot_stratum_parallel(spark):
+    """VERDICT r4 item 7: a 50%-hot stratum must not serialize the
+    sample. The salted form returns byte-identical rows (same md5 total
+    order, recovered via per-bucket offsets) while its heavy window
+    partitions by (stratum, hex-prefix bucket) — the hot stratum's sort
+    spreads over 16 tasks instead of one."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.sampling import stratified_sample_exact_salted
+
+    # 50%-hot stratum: 'hot' has 2000 of 4000 rows
+    rows = [("hot" if i < 2000 else f"s{i % 7}", i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "stratum string, id long").repartition(8)
+    plain = sorted((r.stratum, r.id) for r in stratified_sample_exact(df, "stratum", 0.3, "id").collect())
+    salted = sorted(
+        (r.stratum, r.id)
+        for r in stratified_sample_exact_salted(df, "stratum", 0.3, "id").collect()
+    )
+    assert salted == plain
+    assert sum(1 for s, _ in plain if s == "hot") == 600  # floor(0.3·2000) exactly
+    # parallelism evidence: the window's partition key (stratum, bucket)
+    # splits the hot stratum into ≥8 non-trivial groups, each ≤ ~1/8 of
+    # the stratum — no single task ever sorts the whole hot stratum
+    key = F.md5(F.col("id").cast("string"))
+    sizes = [
+        r.n
+        for r in df.filter(F.col("stratum") == "hot")
+        .groupBy(F.substring(key, 1, 1).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 16 and max(sizes) < 2000 / 16 * 1.6
+
+    # the plan itself: the big window runs over (stratum, _bkt), never
+    # stratum alone
+    plan = stratified_sample_exact_salted(df, "stratum", 0.3, "id")._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    row_number_windows = [
+        ln for ln in plan.splitlines() if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert row_number_windows and all(
+        re.search(r"windowspecdefinition\([^)]*_bkt", ln) for ln in row_number_windows
+    ), f"expected the row_number window partitioned by (stratum, _bkt) in:\n{plan[:2000]}"
+
+
 def test_pack_greedy_semantics(spark):
     rows = [
         ("a", 1, 400), ("a", 2, 500),   # batch 1 (900)
