@@ -1562,6 +1562,25 @@ def q_stratified_sample(spark, sf):
     return stratified_sample_exact(d, "lang", 0.2, "doc_id").select("lang", "doc_id")
 
 
+def q_zorder_key(spark, sf):
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey)
+    (operators/zorder.py): the derived column a writer range-partitions
+    on to get two-dimensional min/max file skipping at 100 TB — pure
+    Catalyst bit interleave (no UDF), term-for-term reproduced by the
+    DuckDB oracle; the pruning-win measurement vs a linear sort lives in
+    tests/test_zorder.py."""
+    from post_ocr_corretion_spark.operators.zorder import zorder_key
+
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key([F.col("l_partkey"), F.col("l_suppkey")], bits=16).alias("zkey"),
+    )
+
+
 def q_stratified_sample_salted(spark, sf):
     """The skew-proof salted form (VERDICT r4 item 7): identical rows to
     q_stratified_sample — the global md5 order per stratum is recovered
@@ -1759,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- slot 51+: new r5 code locally oracle-gated (queued first
         # for r6 with the r3 remainder below) ----
         "stratified_sample_salted": q_stratified_sample_salted,
+        "zorder_key": q_zorder_key,
         # ---- r3-verified remainder, queued for the r6 window ----
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q22_acctbal": q_tpch_q22_acctbal,
@@ -1837,6 +1857,12 @@ def _lsh_banded_sql() -> str:
             bits.append(f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN '1' ELSE '0' END)")
         selects.append(f"SELECT vec_id, v, '{bi}:' || {' || '.join(bits)} AS bkt FROM e")
     return " UNION ALL ".join(selects)
+
+
+def _zorder_terms_sql() -> str:
+    from post_ocr_corretion_spark.operators.zorder import zorder_sql
+
+    return zorder_sql(["l_partkey", "l_suppkey"], bits=16)
 
 
 def _common_words_sql() -> str:
@@ -2173,6 +2199,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE list_sum(list_transform(words[1:chunk_id * 10], w -> length(w) + 1))
                         END AS INTEGER) AS start
             FROM e
+        """,
+        "zorder_key": f"""
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CAST({_zorder_terms_sql()} AS BIGINT) AS zkey
+            FROM lineitem
         """,
         "stratified_sample_salted": """
             WITH r AS (
