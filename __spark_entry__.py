@@ -1581,6 +1581,37 @@ def q_zorder_key(spark, sf):
     )
 
 
+def q_bloom_join_pruned(spark, sf):
+    """Bloom-filter join pruning (operators/bloom_join.py): a selective
+    dimension filter (c_acctbal > 9000) builds an executor-side Bloom
+    over the surviving custkeys (r5 block machinery — driver sees only
+    the filter's bytes); the fact side is prefiltered by a PURE-CATALYST
+    k-probe membership test BEFORE the join shuffle. No false negatives
+    ⇒ the aggregate hash-matches the plain-join oracle exactly (false
+    positives die in the join); the shuffle-reduction evidence is in
+    tests/test_bloom_join.py. The explicit cross-stage form of Spark's
+    runtime bloomFilter pushdown — usable when the build and probe live
+    in different jobs (e.g. prune a 100 TB shuffle with yesterday's
+    lexicon)."""
+    from post_ocr_corretion_spark.operators.bloom_join import (
+        bloom_filter_from_keys,
+        bloom_prefilter,
+    )
+
+    cust = _t(spark, sf, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = _t(spark, sf, "orders")
+    bf = bloom_filter_from_keys(cust.select("c_custkey"), "c_custkey", fpp=0.01)
+    pruned = bloom_prefilter(orders, "o_custkey", bf)
+    return (
+        pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def q_stratified_sample_salted(spark, sf):
     """The skew-proof salted form (VERDICT r4 item 7): identical rows to
     q_stratified_sample — the global md5 order per stratum is recovered
@@ -1779,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for r6 with the r3 remainder below) ----
         "stratified_sample_salted": q_stratified_sample_salted,
         "zorder_key": q_zorder_key,
+        "bloom_join_pruned": q_bloom_join_pruned,
         # ---- r3-verified remainder, queued for the r6 window ----
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q22_acctbal": q_tpch_q22_acctbal,
@@ -2204,6 +2236,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
                    CAST({_zorder_terms_sql()} AS BIGINT) AS zkey
             FROM lineitem
+        """,
+        "bloom_join_pruned": """
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_acctbal > 9000
+            GROUP BY c_nationkey
         """,
         "stratified_sample_salted": """
             WITH r AS (

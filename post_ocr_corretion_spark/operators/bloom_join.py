@@ -1,0 +1,78 @@
+"""Bloom-filter join pruning: drop big-side rows that cannot match
+BEFORE the join shuffle.
+
+The classic 100 TB shuffle reducer: when a selective dimension filter
+leaves few join keys, shuffling the full fact side wastes almost all of
+its IO. Build a Bloom filter over the surviving keys (executor-side via
+``distributed_bloom_blocks`` — the scorer's r5 machinery, at most m/8
+bytes ever reaching the driver), then prefilter the fact side with a
+PURE-CATALYST membership probe: the filter rides the plan as an
+``array<long>`` literal of its 64-bit words and each probe is the same
+md5 position scheme as core/bloom.py, unrolled as k bit tests inside
+whole-stage codegen — no UDF, no Python.
+
+No false negatives, so the subsequent real join returns EXACTLY the
+unfiltered result (false positives are eliminated by the join itself) —
+which is what makes the operator oracle-able end to end: the gated
+query (`bloom_join_pruned`) must hash-match the plain-join SQL.
+
+Spark's own runtime row-level Bloom pushdown
+(spark.sql.optimizer.runtime.bloomFilter.enabled) does this adaptively
+for equi-joins it can see through; this operator is the EXPLICIT form a
+pipeline applies across stages or jobs — e.g. build once from the
+lexicon and prune a 100 TB shuffle days later — where the optimizer has
+no join to analyze.
+
+Size bound: the literal array holds m/64 longs; at fpp 1% that is ~1.2
+probe-words per key, so ~10^6 keys ≈ 1.2 MB of literal — fine for
+codegen. Beyond that, ship the filter as a broadcast variable probed by
+an Arrow-batched UDF (SidecarBloom), trading codegen for boundlessness.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.bloom import BloomFilter
+from .scorer_fit import _bloom_position_hashes, bloom_filter_from_blocks, distributed_bloom_blocks
+
+
+def bloom_filter_from_keys(keys: DataFrame, key_col: str, fpp: float = 0.01) -> BloomFilter:
+    """Executor-side Bloom build over a key DataFrame (any type — keys
+    are hashed via their canonical string rendering, matching the probe
+    side). Driver traffic = the filter's own bytes (blocks path)."""
+    n = max(1, keys.count())
+    m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m_bits / n * math.log(2)))
+    words = keys.select(F.col(key_col).cast("string").alias("word")).distinct()
+    return bloom_filter_from_blocks(distributed_bloom_blocks(words, m_bits, k), m_bits, k)
+
+
+def bloom_might_contain(key_col: Column, bf: BloomFilter) -> Column:
+    """Pure-Catalyst membership probe: TRUE iff every one of the k md5
+    bit positions of ``key`` is set in the filter — identical semantics
+    to ``word in bf`` (tested). The bitmap rides the plan as an
+    array<long> literal of little-endian 64-bit words."""
+    n_words = (bf.m + 63) // 64
+    words = [
+        int.from_bytes(bytes(bf.bits[w * 8 : w * 8 + 8]).ljust(8, b"\x00"), "little")
+        for w in range(n_words)
+    ]
+    # long literals: values with bit 63 set must wrap to signed
+    arr = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words])
+    probe = F.transform(
+        _bloom_position_hashes(bf.m, bf.k, word=key_col),
+        lambda pos: F.getbit(F.element_at(arr, (pos / 64).cast("int") + 1), pos % 64),
+    )
+    tested = F.aggregate(probe, F.lit(0).cast("long"), lambda acc, b: acc + b.cast("long"))
+    return tested == F.lit(bf.k)
+
+
+def bloom_prefilter(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the filter (no false
+    negatives — semantically transparent before a join on the same
+    key). The probe hashes the canonical string rendering, pairing with
+    ``bloom_filter_from_keys``."""
+    return df.filter(bloom_might_contain(F.col(key_col).cast("string"), bf))

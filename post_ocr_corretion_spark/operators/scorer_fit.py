@@ -66,17 +66,19 @@ def counts_matrix(counts_df: DataFrame) -> np.ndarray:
     return m
 
 
-def _bloom_position_hashes(m_bits: int, k: int):
-    """Array column of the k Bloom bit positions for ``word``, hashed with
-    the exact core/bloom.py scheme: md5(word + '#' + i)[:8] % m."""
+def _bloom_position_hashes(m_bits: int, k: int, word=None):
+    """Array column of the k Bloom bit positions for ``word`` (defaults
+    to the ``word`` column), hashed with the exact core/bloom.py scheme:
+    md5(word + '#' + i)[:8] % m."""
     # exact reproduction of int.from_bytes(md5[:8], 'big') % m: the first
     # 16 hex chars as an UNSIGNED 64-bit value — conv() gives its decimal
     # string, pmod over decimal(38,0) avoids signed-long overflow
+    word = F.col("word") if word is None else word
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.pmod(
             F.conv(
-                F.substring(F.md5(F.concat(F.col("word"), F.lit("#"), i.cast("string"))), 1, 16),
+                F.substring(F.md5(F.concat(word, F.lit("#"), i.cast("string"))), 1, 16),
                 16,
                 10,
             ).cast("decimal(38,0)"),
