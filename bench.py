@@ -219,11 +219,18 @@ def run_scaling() -> None:
                 enabled_col="correct_enabled",
             )
 
-        # warm-up pass (JIT + python worker pool), then the timed pass
+        # warm-up pass (JIT + python worker pool), then best-of-N timed
+        # passes: single-pass walls on this host swing ±60% between
+        # adjacent windows (same-code 2-core walls of 35.6 vs 56.7 s
+        # measured back-to-back in r5), so the minimum is the plan's
+        # cost and the raw walls ride along for audit
         _run_noop(job(2))
-        t0 = time.time()
-        _run_noop(job(rep))
-        elapsed = time.time() - t0
+        walls = []
+        for _ in range(int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))):
+            t0 = time.time()
+            _run_noop(job(rep))
+            walls.append(round(time.time() - t0, 2))
+        elapsed = min(walls)
         if not n_docs:
             row = (
                 render_and_extract(_scaled_docs(spark, SF_DIR, rep).repartition(partitions))
@@ -233,6 +240,7 @@ def run_scaling() -> None:
             n_docs, html_bytes = int(row.n), int(row.b)
         results[cores] = {
             "sec": round(elapsed, 2),
+            "raw_sec": walls,
             "docs_per_sec": round(n_docs / elapsed, 2),
             "gb_per_sec": round(html_bytes / 1e9 / elapsed, 4),
         }
@@ -282,16 +290,18 @@ def run_scaling_submit() -> None:
     pkg = os.path.join(workdir, "pkg.zip")
     subprocess.run(["zip", "-qr", pkg, "post_ocr_corretion_spark"], check=True, cwd=repo)
 
-    def run_job(cores: int, sf: str, rep: int, tag: str) -> tuple[float, int]:
+    attempts = int(os.environ.get("SPARK_GRAFT_SUBMIT_ATTEMPTS", "2"))
+
+    def run_job(cores: int, sf: str, rep: int, tag: str, sink: str = "snapshot") -> tuple[float, int]:
         best, rows = None, 0
-        for attempt in range(2):  # best-of-2 (see run_headline note)
+        for attempt in range(attempts):  # best-of-N (see run_headline note)
             out_dir = os.path.join(workdir, f"out_{tag}_{attempt}")
             t0 = time.time()
             proc = subprocess.run(
                 [
                     submit, "--master", f"local[{cores}]", "--py-files", pkg,
                     "jobs/run_extract_correct.py", "--sf-dir", sf, "--out", out_dir,
-                    "--cores", str(cores), "--replicate", str(rep),
+                    "--cores", str(cores), "--replicate", str(rep), "--sink", sink,
                 ],
                 capture_output=True, text=True, cwd=repo, check=True,
             )
@@ -302,8 +312,14 @@ def run_scaling_submit() -> None:
 
     results = {}
     n_docs = 0
+    # calibration input: smallest sibling SF of the measured dir, else the
+    # dir itself (same SF_DIR-derivation rule as the headline warm-up)
+    cal_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(cal_sf):
+        cal_sf = sf_dir
+    both_sinks = os.environ.get("SPARK_GRAFT_SUBMIT_BOTH_SINKS", "1") == "1"
     for cores in levels:
-        cal, _ = run_job(cores, "/root/testdata/sf0.001", 1, f"cal{cores}")
+        cal, _ = run_job(cores, cal_sf, 1, f"cal{cores}")
         wall, n_docs = run_job(cores, sf_dir, replicate, f"run{cores}")
         marginal = max(wall - cal, 1e-6)
         results[cores] = {
@@ -312,6 +328,15 @@ def run_scaling_submit() -> None:
             "docs_per_sec": round(n_docs / wall, 2),
             "adj_docs_per_sec": round(n_docs / marginal, 2),
         }
+        if both_sinks:
+            # compute-only form: the IDENTICAL job into Spark's noop sink
+            # — separates compute scaling from the snapshot-write path,
+            # so a shared-disk write bottleneck (which a real cluster's
+            # per-executor storage wouldn't have) is visible IN-RECORD
+            nwall, _ = run_job(cores, sf_dir, replicate, f"noop{cores}", sink="noop")
+            results[cores]["noop_sec"] = round(nwall, 2)
+            results[cores]["noop_adj_docs_per_sec"] = round(n_docs / max(nwall - cal, 1e-6), 2)
+            results[cores]["write_path_sec"] = round(wall - nwall, 2)
     a, b = levels[0], levels[-1]
 
     def eff(key):
@@ -321,6 +346,7 @@ def run_scaling_submit() -> None:
         "metric": "scaling_efficiency_spark_submit",
         "value": eff("adj_docs_per_sec"),
         "raw_value": eff("docs_per_sec"),
+        "compute_only_value": eff("noop_adj_docs_per_sec") if both_sinks else None,
         "unit": "ratio",
         "levels": {str(k): v for k, v in results.items()},
         "sf": _sf_of(sf_dir),
@@ -340,8 +366,17 @@ def run_scaling_submit() -> None:
         pass
     with open("BENCH/BASELINE.md", "a") as f:
         rows = "\n".join(
-            f"| local[{k}] | {v['sec']} | {v['calibration_sec']} | {v['docs_per_sec']} | {v['adj_docs_per_sec']} |"
+            f"| local[{k}] | {v['sec']} | {v['calibration_sec']} | {v.get('noop_sec', '—')} | "
+            f"{v['docs_per_sec']} | {v['adj_docs_per_sec']} | {v.get('noop_adj_docs_per_sec', '—')} |"
             for k, v in sorted(results.items())
+        )
+        noop_line = (
+            f" The compute-only form (same job, Spark noop sink — no snapshot/"
+            f"lineage IO) measures **{eff('noop_adj_docs_per_sec')}**, separating "
+            f"compute scaling from the shared-disk write path (a real cluster "
+            f"writes to per-executor storage)."
+            if both_sinks
+            else ""
         )
         f.write(
             f"""
@@ -351,22 +386,23 @@ def run_scaling_submit() -> None:
 `spark-submit --py-files pkg.zip jobs/run_extract_correct.py` end to end
 (JVM startup + lexicon/scorer fit + extract+correct + snapshot-committed
 write) at two parallelism levels on {sf_dir} ×{replicate}
-({n_docs} docs), fresh snapshot dir per run, best-of-2. The fixed
+({n_docs} docs), fresh snapshot dir per run, best-of-{attempts}. The fixed
 startup (JVM + driver init + commit; measured per level by a calibration
-run on the tiny sf0.001 input) amortizes to nothing on a long-running
+run on the smallest sibling SF) amortizes to nothing on a long-running
 cluster job, so both the raw and the startup-adjusted efficiencies are
 reported:
 
-| parallelism | wall sec | calibration sec | docs/sec (raw) | docs/sec (adjusted) |
-|---|---|---|---|---|
+| parallelism | wall sec | calibration sec | noop-sink sec | docs/sec (raw) | docs/sec (adjusted) | docs/sec (noop, adjusted) |
+|---|---|---|---|---|---|---|
 {rows}
 
 **{a} → {b} cores: adjusted efficiency {eff('adj_docs_per_sec')}
 (raw {eff('docs_per_sec')})** — the adjusted number is the shipped-job
-analog of the in-process steady-state measurement above.
+analog of the in-process steady-state measurement above.{noop_line}
 
-Reproduce: `python bench.py --scaling-submit`
-(SPARK_GRAFT_SUBMIT_LEVELS, SPARK_GRAFT_SUBMIT_SF, SPARK_GRAFT_SUBMIT_REP).
+Reproduce: `python bench.py --scaling-submit` (SPARK_GRAFT_SUBMIT_LEVELS,
+SPARK_GRAFT_SUBMIT_SF, SPARK_GRAFT_SUBMIT_REP, SPARK_GRAFT_SUBMIT_ATTEMPTS,
+SPARK_GRAFT_SUBMIT_BOTH_SINKS).
 """
         )
     shutil.rmtree(workdir, ignore_errors=True)
@@ -531,9 +567,10 @@ def run_history() -> None:
 def _write_baseline_md(out: dict) -> None:
     lv = out["levels"]
     rows = "\n".join(
-        f"| local[{k}] | {v['sec']} | {v['docs_per_sec']} | {v['gb_per_sec']} |"
+        f"| local[{k}] | {v['sec']} | {v.get('raw_sec', [v['sec']])} | {v['docs_per_sec']} | {v['gb_per_sec']} |"
         for k, v in sorted(lv.items(), key=lambda kv: int(kv[0]))
     )
+    repeats = max(len(v.get("raw_sec", [0])) for v in lv.values())
     pair_rows = "\n".join(f"| {k} | {v} |" for k, v in out["pairs"].items())
     md = f"""# BENCH — scaling evidence (north rule)
 
@@ -544,11 +581,13 @@ synthetic table derived from sf={out['sf']} and replicated to
 parallelism levels on the SAME input with a FIXED 64-task layout — the
 sandbox stand-in for N vs 4N executors.  Lexicon/scorer construction is
 an untimed constant prologue (a model artifact, built once and amortized
-over the corpus); each timed pass follows an untimed warm-up pass (JVM
-JIT + Python worker pool), matching a long-running cluster job.
+over the corpus); per level, an untimed warm-up pass (JVM JIT + Python
+worker pool) precedes BEST-OF-{repeats} timed passes (single-pass walls
+swing ±60% between adjacent windows on this host — raw walls below),
+matching a long-running cluster job.
 
-| parallelism | wall sec | docs/sec | GB/s (html) |
-|---|---|---|---|
+| parallelism | wall sec (best) | raw walls | docs/sec | GB/s (html) |
+|---|---|---|---|---|
 {rows}
 
 | cores N → 4N | scaling efficiency |

@@ -89,6 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         default=500,
         help="corpus size when --source synthetic",
     )
+    parser.add_argument(
+        "--sink",
+        choices=["snapshot", "noop"],
+        default="snapshot",
+        help="noop: run the identical computation into Spark's noop sink "
+        "(no snapshot/lineage/output IO) — isolates compute scaling from "
+        "the write path in the N-vs-4N bench",
+    )
     args = parser.parse_args(argv)
     if args.source == "synthetic" and args.replicate > 1:
         parser.error("--replicate applies to the parquet source; size the synthetic corpus with --n-docs")
@@ -172,6 +180,15 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
+
+    if args.sink == "noop":
+        df = job()
+        df.write.format("noop").mode("overwrite").save()
+        counters = counters_fn()
+        print(json.dumps({"snapshot_id": None, "resumed": False, "rows": counters["pages"], "counters": counters}))
+        if owns_session:
+            spark.stop()
+        return 0
 
     part = args.partition_by.split(",") if args.partition_by else None
     if args.new_snapshot and writer.latest() is not None:
