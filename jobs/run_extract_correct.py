@@ -112,7 +112,6 @@ def main(argv: list[str] | None = None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="extract_correct", cores=args.cores)
-    writer = SnapshotWriter(args.out)
 
     obs = Observation("counters")
 
@@ -190,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.stop()
         return 0
 
+    writer = SnapshotWriter(args.out)
     part = args.partition_by.split(",") if args.partition_by else None
     if args.new_snapshot and writer.latest() is not None:
         df = job()

@@ -55,3 +55,26 @@ def test_job_entry_snapshot_and_resume(spark, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["resumed"] is True and second["snapshot_id"] == first["snapshot_id"]
     assert second["rows"] == first["rows"]
+
+
+def test_job_noop_sink_same_counters(spark, tmp_path, capsys):
+    """--sink noop (the scaling bench's compute-only form) runs the
+    identical computation with no snapshot output and reports the same
+    observed counters as the snapshot-committed run."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_extract_correct as job
+
+    out = str(tmp_path / "out")
+    assert job.main(["--sf-dir", "/root/testdata/sf0.001", "--out", out, "--cores", "4"]) == 0
+    snap = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert job.main(
+        ["--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path / "unused"), "--cores", "4", "--sink", "noop"]
+    ) == 0
+    noop = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert noop["snapshot_id"] is None and noop["rows"] == snap["rows"]
+    assert noop["counters"] == snap["counters"]
+    import os
+
+    assert not os.path.exists(str(tmp_path / "unused"))  # noop wrote nothing
