@@ -53,3 +53,23 @@ def test_prefilter_is_join_transparent_and_prunes(spark):
     # matching set (within the fpp margin) and far below the full table
     assert n_match <= n_pruned <= n_match + max(20, int(0.02 * n_all))
     assert n_pruned < n_all * 0.8
+
+
+def test_prefilter_sits_below_the_join_in_plan(spark):
+    """Plan lock (PLANS.md): the k-probe membership Filter must sit on
+    the fact side BELOW the join — pruned rows never reach the join (or,
+    at scale, its exchange)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    plan = (
+        em.queries()["bloom_join_pruned"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    join_i = next(i for i, ln in enumerate(lines) if "HashJoin" in ln or "SortMergeJoin" in ln)
+    filt_i = next(i for i, ln in enumerate(lines) if "getbit" in ln and "o_custkey" in ln and "Filter" in ln)
+    scan_i = next(i for i, ln in enumerate(lines) if "FileScan" in ln and "orders" in ln)
+    assert join_i < filt_i < scan_i, plan[:1500]
