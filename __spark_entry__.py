@@ -554,6 +554,27 @@ def q_dedup_clusters(spark, sf):
     return dedup_keep_list(duplicate_clusters(pairs, ids))
 
 
+def q_dedup_canonical(spark, sf):
+    """Quality-based canonical selection per near-dup cluster
+    (operators/dedup.dedup_canonical): the doc a training pipeline KEEPS
+    from each duplicate family is the best-quality member (here: longest
+    text, ties on id), not the lowest id. Same LSH pair graph and
+    connected components as dedup_clusters; the oracle extends that
+    recursive CTE with the quality argmax window."""
+    from post_ocr_corretion_spark.operators.dedup import (
+        dedup_canonical,
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(_shingles(spark, sf), n_hashes=4)).select(
+        F.col("da").alias("a"), F.col("db").alias("b")
+    )
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return dedup_canonical(duplicate_clusters(pairs, docs.select("doc_id")), docs)
+
+
 def q_dedup_simhash(spark, sf):
     from post_ocr_corretion_spark.operators.dedup import simhash_signatures
 
@@ -1811,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_salted": q_stratified_sample_salted,
         "zorder_key": q_zorder_key,
         "bloom_join_pruned": q_bloom_join_pruned,
+        "dedup_canonical": q_dedup_canonical,
         # ---- r3-verified remainder, queued for the r6 window ----
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q22_acctbal": q_tpch_q22_acctbal,
@@ -2926,6 +2948,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rnk
               FROM scored
             ) WHERE rnk <= 3
+        """,
+        "dedup_canonical": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, i + 1, 5) AS sh
+              FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS i
+                    FROM documents WHERE doc_id < 100 AND length(text) >= 5)
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5(sh || 's1')) AS m1, min(md5(sh || 's2')) AS m2,
+                     min(md5(sh || 's3')) AS m3, min(md5(sh || 's4')) AS m4
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, m1 || m2 AS band FROM sig
+              UNION ALL SELECT doc_id, m3 || m4 AS band FROM sig
+            ), prs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), comp_t AS (
+              SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+            ), scored AS (
+              SELECT c.comp, c.doc_id, CAST(length(d.text) AS BIGINT) AS quality,
+                     CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size,
+                     row_number() OVER (PARTITION BY c.comp
+                                        ORDER BY length(d.text) DESC, c.doc_id ASC) AS rnk
+              FROM comp_t c JOIN documents d USING (doc_id)
+            )
+            SELECT comp, doc_id AS keep_doc, quality, cluster_size
+            FROM scored WHERE rnk = 1
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (

@@ -69,3 +69,25 @@ def test_unconverged_propagation_raises(spark):
     ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, ids, max_iters=3)
+
+
+def test_dedup_canonical_quality_argmax_and_ties(spark):
+    """Canonical = argmax (quality desc, id asc) per component: a longer
+    doc beats a lower id; equal quality breaks on id."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.dedup import dedup_canonical, duplicate_clusters
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "aaaa"), (3, "aaaa"), (10, "x"), (11, "x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    out = {
+        r.comp: (r.keep_doc, r.quality, r.cluster_size)
+        for r in dedup_canonical(
+            duplicate_clusters(pairs, docs.select("doc_id")), docs
+        ).collect()
+    }
+    assert out[1] == (2, 4, 3)    # longest wins over lowest id; tie (2 vs 3) → lower id
+    assert out[10] == (10, 1, 2)  # equal quality → lower id
