@@ -44,6 +44,14 @@ _TAG = re.compile(
 
 _CDATA_ELEMS = ("script", "style")  # html.parser.CDATA_CONTENT_ELEMENTS
 
+# stdlib set_cdata_mode ends CDATA on r'</\s*{name}\s*>' (re.I) — the
+# fast path must search with the SAME pattern, then require the match
+# to be the exact lowercase '</name>' form (anything looser declines):
+# a plain find('</name') would sail past '</ name>' and diverge.
+_CDATA_CLOSER = {
+    name: re.compile(rf"</\s*{name}\s*>", re.I) for name in _CDATA_ELEMS
+}
+
 
 def _segment_ok(seg: str) -> bool:
     """A text segment is safe iff every '<' in it is the literal-data
@@ -91,7 +99,6 @@ def scan_blocks(raw: str, prune_tags: frozenset, block_tags: frozenset):
             chunks.clear()  # in place: the loop's bound .append stays valid
             link_chars = 0
 
-    rawl = raw.lower()
     n = len(raw)
     pos = 0
     search = _TAG.search
@@ -142,9 +149,10 @@ def scan_blocks(raw: str, prune_tags: frozenset, block_tags: frozenset):
                 link_depth = max(0, link_depth - 1)
         elif name in _CDATA_ELEMS:
             closer = f"</{name}>"
-            cpos = rawl.find(f"</{name}", pos)
-            if cpos == -1 or raw[cpos : cpos + len(closer)] != closer:
-                return None  # unterminated / case-variant closer — decline
+            cm = _CDATA_CLOSER[name].search(raw, pos)
+            if cm is None or raw[cm.start() : cm.start() + len(closer)] != closer:
+                return None  # unterminated / non-canonical closer — decline
+            cpos = cm.start()
             # CDATA content: raw data, no charref conversion (pruned
             # here — script/style are PRUNE_TAGS — but keep the contract)
             if cpos > pos and prune_depth == 0:

@@ -43,10 +43,20 @@ def bloom_filter_from_keys(keys: DataFrame, key_col: str, fpp: float = 0.01) -> 
     """Executor-side Bloom build over a key DataFrame (any type — keys
     are hashed via their canonical string rendering, matching the probe
     side). Driver traffic = the filter's own bytes (blocks path)."""
-    n = max(1, keys.count())
+    # NULL keys are dropped up front (ADVICE r5): a null key would turn
+    # _bloom_position_hashes into null positions → null block ids → a
+    # TypeError deep in pack(), crashing the build executor-side. Safe to
+    # drop because a NULL join key can never match the subsequent
+    # equi-join anyway (and bloom_prefilter's probe on NULL yields NULL →
+    # filtered, consistent with join semantics).
+    words = (
+        keys.select(F.col(key_col).cast("string").alias("word"))
+        .where(F.col("word").isNotNull())
+        .distinct()
+    )
+    n = max(1, words.count())
     m_bits = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
     k = max(1, round(m_bits / n * math.log(2)))
-    words = keys.select(F.col(key_col).cast("string").alias("word")).distinct()
     return bloom_filter_from_blocks(distributed_bloom_blocks(words, m_bits, k), m_bits, k)
 
 

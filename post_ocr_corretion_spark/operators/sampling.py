@@ -86,8 +86,17 @@ def stratified_sample_exact_salted(
         F.sum("_c").over(wtot).alias("_n"),
     )
     wloc = W.partitionBy(stratum_col, "_bkt").orderBy(_hash_order(F.col(id_col)), F.col(id_col))
+    # null-safe join (ADVICE r5): the plain windowed form keeps a NULL
+    # stratum (or NULL id → NULL md5 bucket) as its own partition, so an
+    # equi-join here would silently drop those rows and break the
+    # row-identity contract — eqNullSafe on both keys preserves them.
+    b, o = bucketed.alias("_b"), offsets.alias("_o")
+    cond = F.col(f"_b.{stratum_col}").eqNullSafe(F.col(f"_o.{stratum_col}")) & F.col(
+        "_b._bkt"
+    ).eqNullSafe(F.col("_o._bkt"))
     return (
-        bucketed.join(F.broadcast(offsets), [stratum_col, "_bkt"])
+        b.join(F.broadcast(o), cond)
+        .select("_b.*", F.col("_o._off").alias("_off"), F.col("_o._n").alias("_n"))
         .withColumn("_rk", F.row_number().over(wloc) + F.col("_off"))
         .filter(F.col("_rk") <= F.floor(F.col("_n") * F.lit(frac)))
         .drop("_bkt", "_off", "_n", "_rk")

@@ -130,15 +130,25 @@ def _make_asof_state_fn(
         keep = pending + live_refs
         if keep:
             state.update((sorted(json.dumps(e, sort_keys=True) for e in keep),))
+            # timeout: pending probes drain at the oldest probe's event
+            # time; otherwise (refs-only state) with ref_ttl set, arm at
+            # the earliest possible ref expiry so a permanently-quiet key
+            # still re-enters compaction and eventually removes its state
+            # (ADVICE r5: lazy-only expiry left quiet keys resident
+            # forever — the exact leak ref_ttl exists to bound).
+            timeout_ms = None
             if pending:
-                oldest = min(p["t"] for p in pending) * 1000
+                timeout_ms = min(p["t"] for p in pending) * 1000
+            elif ref_ttl is not None and live_refs:
+                timeout_ms = (min(r["t"] for r in live_refs) + ref_ttl) * 1000
+            if timeout_ms is not None:
                 try:
                     wm_ms = state.getCurrentWatermarkMs()
                     set_timeout = state.setTimeoutTimestamp
                 except AttributeError:
                     pass
                 else:
-                    set_timeout(max(oldest, wm_ms + 1000))
+                    set_timeout(max(timeout_ms, wm_ms + 1000))
         elif state.exists:
             state.remove()
         if out_rows:

@@ -73,3 +73,20 @@ def test_prefilter_sits_below_the_join_in_plan(spark):
     filt_i = next(i for i, ln in enumerate(lines) if "getbit" in ln and "o_custkey" in ln and "Filter" in ln)
     scan_i = next(i for i, ln in enumerate(lines) if "FileScan" in ln and "orders" in ln)
     assert join_i < filt_i < scan_i, plan[:1500]
+
+
+def test_build_drops_null_keys_instead_of_crashing(spark):
+    """ADVICE r5 (low): a NULL key must not crash the executor-side
+    block build (null md5 → null positions → TypeError in pack()). Nulls
+    are dropped in the build — safe because a NULL join key never
+    matches the equi-join — and the filter still behaves exactly on the
+    non-null keys; a NULL probe row is filtered (NULL predicate), again
+    matching join semantics."""
+    keys = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("c",)], "k string"
+    )
+    bf = bloom_filter_from_keys(keys, "k", fpp=0.01)
+    assert all(w in bf for w in ("a", "b", "c"))
+    probe = spark.createDataFrame([("a",), (None,), ("zz",)], "k string")
+    kept = {r.k for r in bloom_prefilter(probe, "k", bf).collect()}
+    assert "a" in kept and None not in kept

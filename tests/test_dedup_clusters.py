@@ -91,3 +91,26 @@ def test_dedup_canonical_quality_argmax_and_ties(spark):
     }
     assert out[1] == (2, 4, 3)    # longest wins over lowest id; tie (2 vs 3) → lower id
     assert out[10] == (10, 1, 2)  # equal quality → lower id
+
+
+def test_dedup_canonical_left_join_keeps_uncovered_members(spark):
+    """ADVICE r5 (low): `docs` must cover every clustered id, and a
+    coverage gap must NOT silently shrink cluster_size or drop a whole
+    component. The join is LEFT from clusters: uncovered members count
+    toward cluster_size with NULL quality (never canonical while a
+    covered member exists); a fully-uncovered component survives with
+    the lowest id as its (null-quality) canonical."""
+    from post_ocr_corretion_spark.operators.dedup import dedup_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (20, 20), (21, 20)], "doc_id long, comp long"
+    )
+    docs = spark.createDataFrame([(1, "aa"), (3, "a")], "doc_id long, text string")
+    out = {
+        r.comp: (r.keep_doc, r.quality, r.cluster_size)
+        for r in dedup_canonical(clusters, docs).collect()
+    }
+    # doc 2 uncovered: still counted (size 3), never chosen over covered 1/3
+    assert out[1] == (1, 2, 3)
+    # component {20,21} fully uncovered: NOT dropped; lowest id, null quality
+    assert out[20] == (20, None, 2)

@@ -62,6 +62,12 @@ ADVERSARIAL = [
     "<p>fish &lt tag</p>",
     "<script>open ended",
     "<SCRIPT>var y;</SCRIPT>",
+    # stdlib ends CDATA on r'</\s*name\s*>' — whitespace forms must
+    # decline, not sail past to a later exact closer (ADVICE r5, high)
+    "<script>x</ script>leaked body text</script><p>tail</p>",
+    "<style>.c{}</ style>leak</style><p>tail</p>",
+    "<script>x</script >more</script><p>t</p>",
+    "<script>x</ScRiPt>more</script><p>t</p>",
     "<p>trailing lt <",
     "<p attr=<bad>>x</p>",
     "<p",

@@ -89,3 +89,28 @@ def test_pack_greedy_semantics(spark):
     }
     with pytest.raises(ValueError, match="budget"):
         pack_greedy(df, "shard", "ord", "sz", budget=0)
+
+
+def test_salted_sample_null_stratum_row_identity(spark):
+    """ADVICE r5 (low): NULL strata (and a NULL id → NULL md5 bucket)
+    form their own partition in the plain windowed form; the salted
+    join must be null-safe on both keys or those rows silently vanish.
+    Row identity must hold including the NULL stratum."""
+    from post_ocr_corretion_spark.operators.sampling import (
+        stratified_sample_exact,
+        stratified_sample_exact_salted,
+    )
+
+    rows = [(None if i % 4 == 0 else f"s{i % 3}", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "stratum string, id long")
+    key = lambda t: (t[0] is not None, t[0] or "", t[1])  # None-safe total order
+    plain = sorted(
+        ((r.stratum, r.id) for r in stratified_sample_exact(df, "stratum", 0.5, "id").collect()),
+        key=key,
+    )
+    salted = sorted(
+        ((r.stratum, r.id) for r in stratified_sample_exact_salted(df, "stratum", 0.5, "id").collect()),
+        key=key,
+    )
+    assert salted == plain
+    assert sum(1 for s, _ in plain if s is None) == 25  # floor(0.5·50): NULL stratum sampled, not dropped

@@ -253,6 +253,55 @@ def test_ref_ttl_state_removed_for_quiet_key():
     assert not run(ref_ttl=1000).exists      # 100 + 1000 < 5000 → swept
 
 
+def test_ref_ttl_arms_timeout_for_refs_only_state():
+    """ADVICE r5 (medium): a refs-only state with ref_ttl must arm an
+    EventTimeTimeout at the ref's expiry — otherwise a permanently-quiet
+    key is only swept lazily on its next batch, which never comes, and
+    state stays unbounded on unbounded key spaces. Without ref_ttl no
+    timeout is armed (retention is the documented semantic default)."""
+    import json
+
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.asof import _make_asof_state_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.value, self.timeout = False, None, None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return 500_000  # wm = 500 s — ref at 100 is retained, not expired
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    def run(ref_ttl):
+        fn = _make_asof_state_fn(
+            "user_id", ["user_id", "ts", "lval"], ["ts", "rval"], "_right",
+            ["user_id", "ts", "lval", "ts_right", "rval_right"], ref_ttl=ref_ttl,
+        )
+        st = FakeState()
+        batch = pd.DataFrame(
+            [{"_ts": 100, "_is_ref": 1, "_data": json.dumps({"ts": 100, "rval": 1.0})}]
+        )
+        list(fn(("k",), iter([batch]), st))
+        return st
+
+    armed = run(ref_ttl=1000)
+    assert armed.exists and armed.timeout == (100 + 1000) * 1000  # expiry in ms
+    assert run(ref_ttl=None).timeout is None  # no ttl → no sweep timeout
+
+
 def test_streaming_asof_refuses_duplicate_refs(spark, tmp_path):
     src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
     ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
