@@ -164,3 +164,77 @@ def test_hyperplane_production_recall_and_publish(spark, quality_rows):
         + [f"| {a} | {b} | {n} | {v} |" for a, b, n, v in rows]
     )
     _update_plans_section(table)
+
+
+def test_verify_stage_scores_each_distinct_candidate_once(spark):
+    """VERDICT r5 plan fix: the band self-join emits only id pairs and
+    `.distinct()`s BEFORE the exact-verify join-back, so a pair that
+    collides in many bands is scored exactly once. Locked two ways:
+    (1) result identity — at threshold=-1 (verify-stage passthrough) the
+    output pairs are exactly the distinct banded collisions, each
+    appearing ONCE, with cos byte-equal to the exact O(N²) oracle;
+    (2) plan — the distinct aggregate runs over the two id columns only
+    (no vector/cos column below it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        hyperplanes,
+        lsh_bucket,
+        lsh_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 16))
+    rows = []
+    for i, v in enumerate(base):
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        # near-identical copy → collides in (almost) EVERY band: the
+        # redundant-scoring regime the fix targets
+        w = v + 0.02 * rng.standard_normal(16)
+        w = w / np.linalg.norm(w)
+        rows.append((i + 1000, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    planes, bands = hyperplanes(16, 16), 4
+
+    out = lsh_near_dup_pairs(emb, planes, threshold=-1.0, bands=bands).collect()
+    pairs = [(r.da, r.db) for r in out]
+    assert len(pairs) == len(set(pairs)), "a candidate pair was scored more than once"
+
+    # independent banded-collision reproduction (same bucket scheme)
+    per_band = len(planes) // bands
+    banded = None
+    for bi in range(bands):
+        chunk = planes[bi * per_band : (bi + 1) * per_band]
+        part = emb.select(
+            "vec_id", F.concat(F.lit(f"{bi}:"), lsh_bucket(F.col("v"), chunk)).alias("bkt")
+        )
+        banded = part if banded is None else banded.union(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    expect = {
+        (r.da, r.db)
+        for r in a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
+        .distinct()
+        .collect()
+    }
+    assert set(pairs) == expect  # verify-stage input == distinct candidate set
+    exact = {(r.da, r.db): r.cos for r in cosine_near_dup_pairs(emb, threshold=-1.0).collect()}
+    assert all(exact[(da, db)] == r.cos for (da, db), r in zip(pairs, out))
+
+    # plan lock: the distinct HashAggregate keys are the id pair only —
+    # the cosine (an `aggregate(zip_with...)` over the vectors) must not
+    # appear below the distinct
+    plan = (
+        lsh_near_dup_pairs(emb, planes, threshold=0.9, bands=bands)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    distinct_lines = [ln for ln in plan.splitlines() if "Aggregate [" in ln]
+    assert distinct_lines, plan[:2000]
+    assert all("zip_with" not in ln and "cos" not in ln for ln in distinct_lines), (
+        "cosine computed below the distinct:\n" + plan[:3000]
+    )
