@@ -575,6 +575,21 @@ def q_dedup_canonical(spark, sf):
     return dedup_canonical(duplicate_clusters(pairs, docs.select("doc_id")), docs)
 
 
+def q_dedup_pipeline(spark, sf):
+    """The dedup family composed END TO END (VERDICT r5 item 7): char
+    shingles → MinHash → banded LSH pairs → connected components →
+    quality-argmax canonical → the KEPT training table (full doc rows +
+    cluster_size). Every stage is individually gated
+    (dedup_minhash_lsh / dedup_clusters / dedup_canonical); this query
+    locks their COMPOSITION — what a pipeline actually deploys. Oracle:
+    the dedup_canonical recursive CTE extended with the final join back
+    to documents. Ships as a job too (jobs/run_dedup_keep.py)."""
+    from post_ocr_corretion_spark.operators.dedup import dedup_pipeline_keep
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return dedup_pipeline_keep(docs)
+
+
 def q_dedup_simhash(spark, sf):
     from post_ocr_corretion_spark.operators.dedup import simhash_signatures
 
@@ -1761,20 +1776,92 @@ def q_unpivot_stats(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
-    # entries of this dict. Round-5 rotation (VERDICT r4 item 2): slots
-    # 1-12 are the twelve r4-tail queries that had never seen the driver;
-    # 13-17 are this round's new/changed code (bloom_positions NEW — the
-    # distributed Bloom build decoded in-plan; ivf_ann_topk now fits its
-    # quantizer with the DISTRIBUTED k-means) plus the flagship trio (last
-    # driver rows r3); 18-50 recycle the stalest r3-verified entries.
-    # Everything past slot 50 was driver-verified green in r4 (or is one
-    # of the ten remaining r3 entries queued for the r6 window, marked
-    # below) and stays covered by the local gate replica
-    # (tests/test_entry_queries.py); tests/test_gate_window.py pins this
-    # window so future rotations can't silently shift the boundary
-    # (ADVICE r4).
+    # entries of this dict. Round-6 rotation (VERDICT r5 item 1): slots 1-4
+    # are the four r5-new operators that never saw the driver
+    # (stratified_sample_salted, zorder_key, bloom_join_pruned,
+    # dedup_canonical); 5-14 retire the entire r3-stale remainder; 15-18 are
+    # the queries whose code changed this round (lsh_near_dup's verify stage
+    # now scores each distinct candidate once; the flagship trio sits on the
+    # fasthtml CDATA fix); 19-50 recycle the stalest r4-verified entries.
+    # Everything past slot 50 was driver-verified green in r4 or r5 (marked
+    # below; the r4 leftovers head the r7 queue) and stays covered by the
+    # local gate replica (tests/test_entry_queries.py);
+    # tests/test_gate_window.py pins this window so rotations can't silently
+    # shift the boundary (ADVICE r4).
     return {
-        # -- slots 1-12: never driver-gated until now (added post-window in r4) --
+        # -- slots 1-4: new in r5, first driver look --
+        "stratified_sample_salted": q_stratified_sample_salted,
+        "zorder_key": q_zorder_key,
+        "bloom_join_pruned": q_bloom_join_pruned,
+        "dedup_canonical": q_dedup_canonical,
+        # -- slots 5-14: the r3-stale remainder, retired --
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q22_acctbal": q_tpch_q22_acctbal,
+        "m5_indel_ratio": q_m5_indel_ratio,
+        "p3_mark_spaces": q_p3_mark_spaces,
+        "a4_max_len": q_a4_max_len,
+        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
+        "p2_clean_text": q_p2_clean_text,
+        "w7_split_point": q_w7_split_point,
+        "a14_word_diff": q_a14_word_diff,
+        "a15_dataset_analysis": q_a15_dataset_analysis,
+        # -- slots 15-18: code changed this round --
+        "dedup_pipeline": q_dedup_pipeline,
+        "lsh_near_dup": q_lsh_near_dup,
+        "flagship_correct": q_flagship_correct,
+        "flagship_catalyst": q_flagship_catalyst,
+        "flagship_roulette": q_flagship_roulette,
+        # -- slots 19-50: stalest r4-verified entries --
+        "a5_line_share": q_a5_line_share,
+        "j3_band_join": q_j3_band_join,
+        "a1_char_vocab": q_a1_char_vocab,
+        "dedup_exact": q_dedup_exact,
+        "a3_bucket_hist": q_a3_bucket_hist,
+        "a9_confusion": q_a9_confusion,
+        "grouped_quantiles": q_grouped_quantiles,
+        "a11_avg_std": q_a11_avg_std,
+        "w6_lag_events": q_w6_lag_events,
+        "fingerprint": q_fingerprint,
+        "u1_union_nations": q_u1_union_nations,
+        "json_props": q_json_props,
+        "w1_topk_orders": q_w1_topk_orders,
+        "langid": q_langid,
+        "p4_despace": q_p4_despace,
+        "p6_strip_punct": q_p6_strip_punct,
+        "a2_lexicon_words": q_a2_lexicon_words,
+        "a2_word_frequencies": q_a2_word_frequencies,
+        "segmentation_eval": q_segmentation_eval,
+        "j5_customers_without_orders": q_j5_customers_without_orders,
+        "j6_customers_with_orders": q_j6_customers_with_orders,
+        "j7_region_nation_cross": q_j7_region_nation_cross,
+        "a7_a8_group_stats": q_a7_a8_group_stats,
+        "a10_prf": q_a10_prf,
+        "rollup_counts": q_rollup_counts,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_local_volume": q_tpch_q5_local_volume,
+        "cube_counts": q_cube_counts,
+        "distinct_counts": q_distinct_counts,
+        "s3_limit_top50": q_s3_limit_top50,
+        "u3_except_nations": q_u3_except_nations,
+        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "u2_intersect_nations": q_u2_intersect_nations,
+        "w5_word_positions": q_w5_word_positions,
+        "d6_split": q_d6_split,
+        "embed_near_dup": q_embed_near_dup,
+        "j3_labels": q_j3_labels,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "token_count": q_token_count,
+        "wer": q_wer,
+        "multimodal_features": q_multimodal_features,
+        "asof_events_forward": q_asof_events_forward,
+        "asof_events_nearest": q_asof_events_nearest,
+        "asof_events_tolerance": q_asof_events_tolerance,
+        "w_value_functions": q_w_value_functions,
+        "median_mode": q_median_mode,
+        "d5_word_ids": q_d5_word_ids,
+        "asof_events": q_asof_events,
+        # -- r5-verified (driver-green last round) --
         "pagerank": q_pagerank,
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
@@ -1787,13 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_semantics": q_null_semantics,
         "explode_outer": q_explode_outer,
         "except_all_intersect_all": q_except_all_intersect_all,
-        # -- slots 13-17: new/changed code this round + the flagship trio --
         "bloom_positions": q_bloom_positions,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "flagship_correct": q_flagship_correct,
-        "flagship_catalyst": q_flagship_catalyst,
-        "flagship_roulette": q_flagship_roulette,
-        # -- slots 18-50: stalest (last driver-verified r3) --
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -1827,75 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
         "j4_revenue_by_nation": q_j4_revenue_by_nation,
         "a6_cumulative_share": q_a6_cumulative_share,
-        # ---- slot 51+: new r5 code locally oracle-gated (queued first
-        # for r6 with the r3 remainder below) ----
-        "stratified_sample_salted": q_stratified_sample_salted,
-        "zorder_key": q_zorder_key,
-        "bloom_join_pruned": q_bloom_join_pruned,
-        "dedup_canonical": q_dedup_canonical,
-        # ---- r3-verified remainder, queued for the r6 window ----
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q22_acctbal": q_tpch_q22_acctbal,
-        "m5_indel_ratio": q_m5_indel_ratio,
-        "p3_mark_spaces": q_p3_mark_spaces,
-        "a4_max_len": q_a4_max_len,
-        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
-        "p2_clean_text": q_p2_clean_text,
-        "w7_split_point": q_w7_split_point,
-        "a14_word_diff": q_a14_word_diff,
-        "a15_dataset_analysis": q_a15_dataset_analysis,
-        # ---- slot 61+: driver-verified green in r4, code unchanged ----
-        "a5_line_share": q_a5_line_share,
-        "lsh_near_dup": q_lsh_near_dup,
-        "j3_band_join": q_j3_band_join,
-        "a1_char_vocab": q_a1_char_vocab,
-        "dedup_exact": q_dedup_exact,
-        "a3_bucket_hist": q_a3_bucket_hist,
-        "a9_confusion": q_a9_confusion,
-        "grouped_quantiles": q_grouped_quantiles,
-        "a11_avg_std": q_a11_avg_std,
-        "w6_lag_events": q_w6_lag_events,
-        "fingerprint": q_fingerprint,
-        "u1_union_nations": q_u1_union_nations,
-        "json_props": q_json_props,
-        "w1_topk_orders": q_w1_topk_orders,
-        "langid": q_langid,
-        "p4_despace": q_p4_despace,
-        "p6_strip_punct": q_p6_strip_punct,
-        "a2_lexicon_words": q_a2_lexicon_words,
-        "a2_word_frequencies": q_a2_word_frequencies,
-        "segmentation_eval": q_segmentation_eval,
-        "j5_customers_without_orders": q_j5_customers_without_orders,
-        "j6_customers_with_orders": q_j6_customers_with_orders,
-        "j7_region_nation_cross": q_j7_region_nation_cross,
-        "a7_a8_group_stats": q_a7_a8_group_stats,
-        "a10_prf": q_a10_prf,
-        "rollup_counts": q_rollup_counts,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q5_local_volume": q_tpch_q5_local_volume,
-        "cube_counts": q_cube_counts,
-        "distinct_counts": q_distinct_counts,
-        "s3_limit_top50": q_s3_limit_top50,
-        "u3_except_nations": q_u3_except_nations,
-        "u2_intersect_nations": q_u2_intersect_nations,
-        "w5_word_positions": q_w5_word_positions,
-        "d6_split": q_d6_split,
-        "embed_near_dup": q_embed_near_dup,
-        "j3_labels": q_j3_labels,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "token_count": q_token_count,
-        "wer": q_wer,
-        "multimodal_features": q_multimodal_features,
-        "asof_events_forward": q_asof_events_forward,
-        "asof_events_nearest": q_asof_events_nearest,
-        "asof_events_tolerance": q_asof_events_tolerance,
-        "w_value_functions": q_w_value_functions,
-        "median_mode": q_median_mode,
-        "d5_word_ids": q_d5_word_ids,
-        "asof_events": q_asof_events,
     }
-
 
 def _lsh_banded_sql() -> str:
     """UNION ALL of the 4 per-band bucketed selects (4 planes per band),
@@ -2982,6 +2996,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT comp, doc_id AS keep_doc, quality, cluster_size
             FROM scored WHERE rnk = 1
+        """,
+        "dedup_pipeline": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, i + 1, 5) AS sh
+              FROM (SELECT doc_id, text, unnest(range(0, greatest(length(text) - 5, 0) + 1)) AS i
+                    FROM documents WHERE doc_id < 100 AND length(text) >= 5)
+            ), sig AS (
+              SELECT doc_id,
+                     min(md5(sh || 's1')) AS m1, min(md5(sh || 's2')) AS m2,
+                     min(md5(sh || 's3')) AS m3, min(md5(sh || 's4')) AS m4
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, m1 || m2 AS band FROM sig
+              UNION ALL SELECT doc_id, m3 || m4 AS band FROM sig
+            ), prs AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ), comp_t AS (
+              SELECT a AS doc_id, min(b) AS comp FROM reach GROUP BY a
+            ), scored AS (
+              SELECT c.comp, c.doc_id, CAST(length(d.text) AS BIGINT) AS quality,
+                     CAST(count(*) OVER (PARTITION BY c.comp) AS BIGINT) AS cluster_size,
+                     row_number() OVER (PARTITION BY c.comp
+                                        ORDER BY length(d.text) DESC, c.doc_id ASC) AS rnk
+              FROM comp_t c JOIN documents d USING (doc_id)
+            )
+            SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+                   s.cluster_size
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE s.rnk = 1
         """,
         "dedup_clusters": """
             WITH RECURSIVE sh AS (

@@ -511,13 +511,15 @@ def run_history() -> None:
     import re
 
     rows = []
+    skipped = []
     for path in sorted(glob.glob("BENCH_r*.json")):
         rnd = re.search(r"BENCH_r(\d+)", path).group(1)
         with open(path) as f:
             rec = json.load(f)
         p = rec.get("parsed") or rec  # driver wraps the JSON line in 'parsed'
         if not isinstance(p, dict) or "value" not in p:
-            continue
+            skipped.append(path)  # unparseable record → hard failure below,
+            continue  # never a silently thinner table (VERDICT r5 item 3)
         q = p.get("queries", {})
         noise = p.get("noise_control") or {}
         rows.append(
@@ -562,6 +564,31 @@ def run_history() -> None:
     with open("PLANS.md", "w") as f:
         f.write(new)
     print(json.dumps({"metric": "bench_history_rounds", "value": len(rows), "rows": rows}))
+    if skipped:
+        raise SystemExit(f"BENCH artifacts missing from the regenerated table: {skipped}")
+
+
+def history_is_current() -> tuple[bool, str]:
+    """True iff PLANS.md's bench-history table has a row for every
+    recorded BENCH_r*.json round — the doc lagged the artifacts in r5
+    (the driver writes BENCH_rN.json AFTER the round's last commit, so
+    the next session must re-run `bench.py --history` first thing).
+    Asserted by tests/test_bench_cli.py so staleness fails the suite."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = {
+        int(re.search(r"BENCH_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    }
+    with open(os.path.join(here, "PLANS.md")) as f:
+        m = re.search(r"<!-- BENCH_HISTORY_BEGIN -->.*?<!-- BENCH_HISTORY_END -->", f.read(), re.S)
+    if not m:
+        return False, "no BENCH_HISTORY block in PLANS.md"
+    have = {int(r) for r in re.findall(r"^\| r(\d+) \|", m.group(0), re.M)}
+    missing = rounds - have
+    return not missing, f"rounds missing from PLANS.md history: {sorted(missing)}"
 
 
 def _write_baseline_md(out: dict) -> None:

@@ -114,3 +114,27 @@ def test_dedup_canonical_left_join_keeps_uncovered_members(spark):
     assert out[1] == (1, 2, 3)
     # component {20,21} fully uncovered: NOT dropped; lowest id, null quality
     assert out[20] == (20, None, 2)
+
+
+def test_dedup_pipeline_keep_composes_end_to_end(spark):
+    """The composed chain (shingles → MinHash → LSH pairs → components →
+    quality argmax → kept table): near-identical docs collapse to ONE
+    kept row — the longest member — while unrelated docs survive as
+    singletons with cluster_size 1 and all doc columns intact."""
+    from post_ocr_corretion_spark.operators.dedup import dedup_pipeline_keep
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base + " extended", "en"),          # near-dup of 1, longer → kept
+            (3, base[:-1] + "!", "en"),             # near-dup of 1
+            (50, "completely different content about spark shuffles", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dedup_pipeline_keep(docs).collect()}
+    assert set(out) == {2, 50}
+    assert out[2].cluster_size == 3 and out[2].lang == "en"
+    assert out[50].cluster_size == 1
+    assert out[2].text == base + " extended"  # full doc row survives the chain

@@ -8,38 +8,67 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# the intended r5 window, in order (see queries() rotation comment)
-R5_WINDOW = [
-    # never driver-gated before r5
-    "pagerank", "sliding_window", "array_functions", "udtf_chunks",
-    "stratified_sample", "pack_batches", "date_functions",
-    "string_functions", "map_hof", "null_semantics", "explode_outer",
-    "except_all_intersect_all",
-    # new/changed code this round + flagship trio
-    "bloom_positions", "ivf_ann_topk", "flagship_correct",
-    "flagship_catalyst", "flagship_roulette",
-    # stalest (last driver-verified r3)
-    "dedup_minhash_lsh", "ann_cosine_topk", "dedup_clusters", "cer",
-    "seqeval_f1", "tfidf_top_terms", "textstats_quality",
-    "d2_split_to_fit", "skew_salted_counts", "sessionize",
-    "interval_join", "streaming_window", "w_rows_frame",
-    "hof_array_ops", "approx_distinct", "approx_quantile",
-    "grouping_sets_counts", "cms_counts", "pivot_returnflag",
-    "ntile_quartiles", "map_props", "unpivot_stats", "rollup_cascade",
-    "tpch_q1_pricing", "tpch_q2_min_price_supplier",
-    "tpch_q4_order_priority", "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items", "tpch_q13_cust_distribution",
-    "tpch_q16_supplier_cnt", "tpch_q19_disjunctive_revenue",
-    "j4_revenue_by_nation", "a6_cumulative_share",
-]
+# the intended r6 window (dedup_pipeline NEW this round), in order (see queries() rotation comment)
+R6_WINDOW = [
+    "stratified_sample_salted",
+    "zorder_key",
+    "bloom_join_pruned",
+    "dedup_canonical",
+    "tpch_q18_large_orders",
+    "tpch_q22_acctbal",
+    "m5_indel_ratio",
+    "p3_mark_spaces",
+    "a4_max_len",
+    "p13_p14_wrap_decode",
+    "p2_clean_text",
+    "w7_split_point",
+    "a14_word_diff",
+    "a15_dataset_analysis",
+    "dedup_pipeline",
+    "lsh_near_dup",
+    "flagship_correct",
+    "flagship_catalyst",
+    "flagship_roulette",
+    "a5_line_share",
+    "j3_band_join",
+    "a1_char_vocab",
+    "dedup_exact",
+    "a3_bucket_hist",
+    "a9_confusion",
+    "grouped_quantiles",
+    "a11_avg_std",
+    "w6_lag_events",
+    "fingerprint",
+    "u1_union_nations",
+    "json_props",
+    "w1_topk_orders",
+    "langid",
+    "p4_despace",
+    "p6_strip_punct",
+    "a2_lexicon_words",
+    "a2_word_frequencies",
+    "segmentation_eval",
+    "j5_customers_without_orders",
+    "j6_customers_with_orders",
+    "j7_region_nation_cross",
+    "a7_a8_group_stats",
+    "a10_prf",
+    "rollup_counts",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "cube_counts",
+    "distinct_counts",
+    "s3_limit_top50",
+    "u3_except_nations",
+    ]
 
 
 def test_first_50_is_the_intended_window():
     import __spark_entry__ as em
 
     keys = list(em.queries().keys())
-    assert keys[:50] == R5_WINDOW
-    assert len(R5_WINDOW) == 50
+    assert keys[:50] == R6_WINDOW
+    assert len(R6_WINDOW) == 50
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
