@@ -311,3 +311,109 @@ def test_streaming_asof_refuses_duplicate_refs(spark, tmp_path):
 
     with pytest.raises(Exception, match="duplicate"):
         _drain(spark, src_l, src_r, ckpt, sink)
+
+
+def test_streaming_asof_forward_native_matches_batch(spark, tmp_path):
+    """NATIVE tolerance-bounded forward (VERDICT r5 item 9): the
+    stateful operator emits exactly the batch
+    asof_join(direction='forward', tolerance=TOL) rows — fills inside
+    the window, nulls beyond it, equal-ts tie includes the ref."""
+    from post_ocr_corretion_spark.streaming.asof import streaming_asof_join_forward
+
+    TOL = 100
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    _write(spark, LEFT_ROWS, L_SCHEMA, src_l)
+    _write(spark, RIGHT_ROWS, R_SCHEMA, src_r)
+
+    def drain():
+        left = spark.readStream.schema(L_SCHEMA).parquet(src_l)
+        right = spark.readStream.schema(R_SCHEMA).parquet(src_r)
+        q = (
+            streaming_asof_join_forward(left, right, by="user_id", tolerance=TOL)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    _write(spark, CLOCK, R_SCHEMA, src_r)
+    drain()
+    _write(spark, [("zz", 1_000_200, 0.0)], R_SCHEMA, src_r)
+    drain()
+
+    got = sorted(
+        (r.user_id, r.ts, r.lval, r.ts_right, r.rval_right)
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch_left = spark.createDataFrame(LEFT_ROWS, L_SCHEMA)
+    batch_right = spark.createDataFrame(RIGHT_ROWS + CLOCK, R_SCHEMA)
+    want = sorted(
+        (r.user_id, r.ts, r.lval, r.ts_right, r.rval_right)
+        for r in asof_join(
+            batch_left, batch_right, by="user_id", direction="forward", tolerance=TOL
+        ).collect()
+    )
+    assert got == want
+    # the fixture exercises every branch: in-window fill, beyond-window
+    # null, equal-ts tie, keyless probe
+    filled = {(u, t): rt for u, t, _, rt, _ in got}
+    assert filled[("a", 200)] == 200      # equal-ts tie includes the ref
+    assert filled[("a", 400)] is None     # no ref within [400, 500]
+    assert filled[("a", 50)] == 80        # forward fill where backward was null
+    assert filled[("c", 500)] is None     # keyless probe
+
+
+def test_forward_state_self_expires_without_ttl():
+    """The forward operator's state is bounded BY CONSTRUCTION: refs
+    older than wm − tolerance compact away and a refs-only state arms
+    its own sweep timeout, so quiet keys fully expire with no ttl knob
+    (contrast the backward operator's retained last-reference)."""
+    import json
+
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.asof import _make_asof_forward_state_fn
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self.exists, self.value, self.timeout, self._wm = False, None, None, wm_ms
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    def run(wm_ms, batch_rows):
+        fn = _make_asof_forward_state_fn(
+            "user_id", ["user_id", "ts", "lval"], ["ts", "rval"], "_right",
+            ["user_id", "ts", "lval", "ts_right", "rval_right"], tolerance=100,
+        )
+        st = FakeState(wm_ms)
+        batch = pd.DataFrame(batch_rows)
+        list(fn(("k",), iter([batch]), st))
+        return st
+
+    ref = {"_ts": 100, "_is_ref": 1, "_data": json.dumps({"ts": 100, "rval": 1.0})}
+    # wm = 50: ref live (100 >= 50-100), sweep armed at t + tolerance
+    st = run(50_000, [ref])
+    assert st.exists and st.timeout == (100 + 100) * 1000
+    # wm past ref ts + tolerance: ref compacted, state REMOVED — no
+    # retained-forever row, no ttl needed
+    assert not run(300_000, [ref]).exists
