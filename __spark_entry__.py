@@ -685,6 +685,53 @@ def q_d2_split_to_fit(spark, sf):
     return split_to_fit(d, "seq")
 
 
+def q_pii_redact(spark, sf):
+    """PII redaction (operators/scrub.redact_pii): email/IPv4/phone →
+    sentinel tokens with per-class hit counts from the same pass — the
+    Dolma/RefinedWeb-style scrub every web corpus gets before training.
+    The synthetic corpus is clean, so deterministic PII is planted
+    IN-PLAN from doc_id (both engines compute the identical augmented
+    text); pure Catalyst regexp_count/regexp_replace throughout."""
+    from post_ocr_corretion_spark.operators.scrub import redact_pii
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".77 call +1 555 010 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (operators/scrub.decontaminate): flag
+    training docs sharing any lowercase word 8-gram with a benchmark
+    set (GPT-3 appendix-C convention; production n is 8-13, the
+    operator's default). The gated demo uses n=4 — on the synthetic
+    word-salad corpus exact 8-gram collisions are rare (1 doc), while
+    4-grams contaminate ~7% of docs, exercising both join outcomes.
+    Benchmark = docs 300-319 standing in for an eval set. Broadcast
+    n-gram semi-join — the corpus side never shuffles."""
+    from post_ocr_corretion_spark.operators.scrub import decontaminate
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    bench = (
+        _t(spark, sf, "documents")
+        .filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+        .select("text")
+    )
+    return decontaminate(docs, bench, n=4).select("doc_id", "n_hit_grams", "contaminated")
+
+
 def q_textstats_quality(spark, sf):
     from post_ocr_corretion_spark.operators.textstats import quality_stats
 
@@ -1807,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_dataset_analysis": q_a15_dataset_analysis,
         # -- slots 15-18: code changed this round --
         "dedup_pipeline": q_dedup_pipeline,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
         "lsh_near_dup": q_lsh_near_dup,
         "flagship_correct": q_flagship_correct,
         "flagship_catalyst": q_flagship_catalyst,
@@ -1841,9 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": q_tpch_q5_local_volume,
         "cube_counts": q_cube_counts,
         "distinct_counts": q_distinct_counts,
+        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
         "s3_limit_top50": q_s3_limit_top50,
         "u3_except_nations": q_u3_except_nations,
-        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
         "u2_intersect_nations": q_u2_intersect_nations,
         "w5_word_positions": q_w5_word_positions,
         "d6_split": q_d6_split,
@@ -3089,6 +3138,50 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, rnk, vec_id, cos FROM rn WHERE rnk <= 5
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.77 call +1 555 010 '
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}\b', '<PHONE>', 'g'
+                   ) AS text_redacted
+            FROM planted
+        """,
+        "decontaminate": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
+            ), btok AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ts
+              FROM documents WHERE doc_id >= 300 AND doc_id < 320
+            ), bgrams AS (
+              SELECT DISTINCT array_to_string(ts[i+1:i+4], ' ') AS g
+              FROM btok, unnest(range(0, greatest(len(ts) - 3, 0))) AS u(i)
+            ), ctok AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ts
+              FROM corpus
+            ), cgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+4], ' ') AS g
+              FROM ctok, unnest(range(0, greatest(len(ts) - 3, 0))) AS u(i)
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM cgrams JOIN bgrams USING (g) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
         """,
         "textstats_quality": rf"""
             WITH base AS (

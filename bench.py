@@ -292,8 +292,11 @@ def run_scaling_submit() -> None:
 
     attempts = int(os.environ.get("SPARK_GRAFT_SUBMIT_ATTEMPTS", "2"))
 
+    raw_walls: dict[str, list[float]] = {}
+
     def run_job(cores: int, sf: str, rep: int, tag: str, sink: str = "snapshot") -> tuple[float, int]:
         best, rows = None, 0
+        raw_walls[tag] = []
         for attempt in range(attempts):  # best-of-N (see run_headline note)
             out_dir = os.path.join(workdir, f"out_{tag}_{attempt}")
             t0 = time.time()
@@ -306,6 +309,7 @@ def run_scaling_submit() -> None:
                 capture_output=True, text=True, cwd=repo, check=True,
             )
             el = time.time() - t0
+            raw_walls[tag].append(round(el, 2))
             best = el if best is None else min(best, el)
             rows = json.loads(proc.stdout.strip().splitlines()[-1])["rows"]
         return best, rows
@@ -351,6 +355,7 @@ def run_scaling_submit() -> None:
         "levels": {str(k): v for k, v in results.items()},
         "sf": _sf_of(sf_dir),
         "docs": n_docs,
+        "raw_walls": raw_walls,
         "note": "shipped job end-to-end; value = startup-adjusted (docs/(wall-calibration)), raw_value = uncorrected walls",
     }
     print(json.dumps(out))
@@ -369,6 +374,9 @@ def run_scaling_submit() -> None:
             f"| local[{k}] | {v['sec']} | {v['calibration_sec']} | {v.get('noop_sec', '—')} | "
             f"{v['docs_per_sec']} | {v['adj_docs_per_sec']} | {v.get('noop_adj_docs_per_sec', '—')} |"
             for k, v in sorted(results.items())
+        )
+        raws = "\n".join(
+            f"- `{tag}`: {walls}" for tag, walls in raw_walls.items()
         )
         noop_line = (
             f" The compute-only form (same job, Spark noop sink — no snapshot/"
@@ -390,7 +398,11 @@ write) at two parallelism levels on {sf_dir} ×{replicate}
 startup (JVM + driver init + commit; measured per level by a calibration
 run on the smallest sibling SF) amortizes to nothing on a long-running
 cluster job, so both the raw and the startup-adjusted efficiencies are
-reported:
+reported. Raw walls per attempt (VERDICT r5 item 4 — the split claim is
+only citable when the ordering is noise-consistent across attempts):
+
+{raws}
+
 
 | parallelism | wall sec | calibration sec | noop-sink sec | docs/sec (raw) | docs/sec (adjusted) | docs/sec (noop, adjusted) |
 |---|---|---|---|---|---|---|

@@ -25,6 +25,8 @@ R6_WINDOW = [
     "a14_word_diff",
     "a15_dataset_analysis",
     "dedup_pipeline",
+    "pii_redact",
+    "decontaminate",
     "lsh_near_dup",
     "flagship_correct",
     "flagship_catalyst",
@@ -58,8 +60,6 @@ R6_WINDOW = [
     "tpch_q5_local_volume",
     "cube_counts",
     "distinct_counts",
-    "s3_limit_top50",
-    "u3_except_nations",
     ]
 
 
