@@ -131,3 +131,24 @@ def test_sessionize_plans_native_session_window(spark):
     plan = formatted_plan(em.queries()["sessionize"](spark, SF))
     assert "session_window" in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pii_redact_is_shuffle_free_and_pruned(spark):
+    """redact_pii composes into the scan: per-row regexp work only —
+    ZERO exchanges — and the documents scan never deserializes the
+    unused columns."""
+    from post_ocr_corretion_spark.plans.audit import count_exchanges
+
+    df = em.queries()["pii_redact"](spark, SF)
+    assert count_exchanges(df) == 0
+    assert_columns_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_decontaminate_broadcasts_the_benchmark_grams(spark):
+    """The benchmark n-gram set is the small side: every join in the
+    flag-mode plan is a broadcast (the corpus side never sort-merges),
+    and the corpus scan reads only (doc_id, text)."""
+    df = em.queries()["decontaminate"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+    assert_columns_pruned(df, ["lang", "source", "n_chars"])
