@@ -7,11 +7,21 @@ the individually-gated dedup stages, composed and shipped).
     spark-submit --py-files /tmp/pkg.zip jobs/run_dedup_keep.py \
         --sf-dir /root/testdata/sf0.01 --out /tmp/dedup_keep_out
 
+Two optional downstream stages make it the full training-table build:
+``--decontaminate-bench LO:HI`` drops kept docs sharing word n-grams
+with the benchmark range (operators/scrub.decontaminate, drop mode) and
+``--redact-pii`` replaces email/IPv4/phone with sentinels in the kept
+text (per-class hit totals join the counters). dedup → decontaminate →
+redact → snapshot is the canonical pre-training order: dedup first so
+scrubbing cost is paid once per kept doc, decontaminate before redact
+so sentinel tokens can't mask an n-gram overlap.
+
 Same sink contract as run_extract_correct.py: atomic manifest commit,
 per-file lineage rows, crash-safe resume (re-run → ``"resumed": true``
-with no recompute), ``--new-snapshot`` to append. Counters: docs_in,
-docs_kept, dup_docs_removed — collected via df.observe so the kept
-count is a by-product of the write, not an extra pass.
+with no recompute), ``--new-snapshot`` to append. Counters (docs_in,
+docs_kept, dup_docs_removed, + *_redacted with --redact-pii) are
+collected via df.observe on the FINAL written table — a by-product of
+the write, not an extra pass.
 """
 from __future__ import annotations
 
@@ -29,6 +39,20 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--bands", type=int, default=2)
     parser.add_argument("--rows-per-band", type=int, default=2)
     parser.add_argument("--shingle-k", type=int, default=5)
+    parser.add_argument(
+        "--decontaminate-bench",
+        default=None,
+        metavar="LO:HI",
+        help="drop kept docs sharing any word n-gram (--decontaminate-n) with "
+        "docs in this doc_id range (the range stands in for an eval benchmark)",
+    )
+    parser.add_argument("--decontaminate-n", type=int, default=8)
+    parser.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="replace email/IPv4/phone with sentinel tokens in the kept text "
+        "(text column is REPLACED; per-class hit totals land in the counters)",
+    )
     parser.add_argument("--new-snapshot", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
@@ -57,12 +81,35 @@ def main(argv: list[str] | None = None) -> int:
             rows_per_band=args.rows_per_band,
             shingle_k=args.shingle_k,
         )
-        return kept.observe(
-            obs,
+        counters = [
             F.count(F.lit(1)).alias("docs_kept"),
             F.sum(F.col("cluster_size")).alias("docs_in"),
             F.sum(F.col("cluster_size") - 1).alias("dup_docs_removed"),
-        )
+        ]
+        if args.decontaminate_bench:
+            from post_ocr_corretion_spark.operators.scrub import decontaminate
+
+            lo, hi = (int(x) for x in args.decontaminate_bench.split(":"))
+            bench = (
+                spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+                .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .select("text")
+            )
+            kept = decontaminate(kept, bench, n=args.decontaminate_n, mode="drop")
+        if args.redact_pii:
+            from post_ocr_corretion_spark.operators.scrub import redact_pii
+
+            kept = (
+                redact_pii(kept)
+                .drop("text")
+                .withColumnRenamed("text_redacted", "text")
+            )
+            counters += [
+                F.sum("n_email").alias("emails_redacted"),
+                F.sum("n_ipv4").alias("ips_redacted"),
+                F.sum("n_phone").alias("phones_redacted"),
+            ]
+        return kept.observe(obs, *counters)
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
     writer = SnapshotWriter(args.out)
