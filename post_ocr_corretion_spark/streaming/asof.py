@@ -52,8 +52,12 @@ natively below (``streaming_asof_join_forward``) — and its state is
 fully bounded with no ttl knob at all, because a reference older than
 ``wm − tolerance`` can never sit inside any live probe's window
 [T, T+tol] (pending probes have T ≥ wm − tol; future probes arrive at
-T ≥ wm). The reflection composition (t' = BASE − t over the backward
-operator) remains tested as an equivalence check.
+T ≥ wm). The same construction gives a native tolerance-bounded
+NEAREST (``streaming_asof_join_nearest``, 2·tolerance ref horizon),
+completing the family: backward (native, optional ref_ttl), forward
+and nearest (native, bounded by construction when tolerance-bounded).
+The reflection composition (t' = BASE − t over the backward operator)
+remains tested as an equivalence check.
 """
 from __future__ import annotations
 
@@ -243,6 +247,95 @@ def _make_asof_forward_state_fn(
     return fn
 
 
+def _make_asof_nearest_state_fn(
+    by: str,
+    lcols: list[str],
+    rcols: list[str],
+    suffix: str,
+    out_names: list[str],
+    tolerance: int,
+):
+    """Nearest-with-tolerance: pick the closer of (nearest-prior,
+    nearest-next), exact tie → backward, then NULL the pick when its
+    distance exceeds ``tolerance`` — the batch ``direction='nearest'``
+    contract applied in that exact order. Emission is final at
+    wm > T + tolerance (both candidate directions are settled by then).
+
+    Ref compaction keeps t >= wm − 2·tolerance, which is OUTPUT-
+    INVARIANT vs batch: a dropped older ref has distance > tolerance to
+    every live probe (pending probes have T >= wm − tol), so batch
+    either tolerance-nulls it or prefers the strictly-closer other
+    direction — both reproduced without it. State is therefore bounded
+    by the 2·tolerance horizon; no retained-forever row."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        entries = [json.loads(s) for s in (state.get[0] if state.exists else [])]
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                entries.append(
+                    {"t": int(row["_ts"]), "r": int(row["_is_ref"]), "d": json.loads(row["_data"])}
+                )
+        try:
+            wm = state.getCurrentWatermarkMs() / 1000.0
+        except AttributeError:  # unit-test harness without an engine
+            wm = 0.0
+        refs = sorted((e for e in entries if e["r"] == 1), key=lambda e: e["t"])
+        for a, b in zip(refs, refs[1:]):
+            if a["t"] == b["t"]:
+                raise ValueError(
+                    "streaming asof: duplicate (by, ts) reference rows — aggregate "
+                    "the reference stream first (same contract as the batch operator)"
+                )
+        probes = [e for e in entries if e["r"] == 0]
+        ready = sorted(
+            (p for p in probes if p["t"] + tolerance < wm),
+            key=lambda p: (p["t"], json.dumps(p["d"], sort_keys=True)),
+        )
+        pending = [p for p in probes if p["t"] + tolerance >= wm]
+        out_rows = []
+        for p in ready:
+            back = None
+            for r in refs:  # sorted asc: last with t <= probe t
+                if r["t"] <= p["t"]:
+                    back = r
+                else:
+                    break
+            fwd = next((r for r in refs if r["t"] >= p["t"]), None)
+            if back is None:
+                pick = fwd
+            elif fwd is None:
+                pick = back
+            else:  # closer of the two; exact tie → backward
+                pick = back if (p["t"] - back["t"]) <= (fwd["t"] - p["t"]) else fwd
+            if pick is not None and abs(pick["t"] - p["t"]) > tolerance:
+                pick = None
+            rec = {c: p["d"].get(c) for c in lcols}
+            for c in rcols:
+                rec[c + suffix] = pick["d"].get(c) if pick else None
+            out_rows.append(rec)
+        live_refs = [r for r in refs if r["t"] >= wm - 2 * tolerance]
+        keep = pending + live_refs
+        if keep:
+            state.update((sorted(json.dumps(e, sort_keys=True) for e in keep),))
+            if pending:
+                timeout_ms = (min(p["t"] for p in pending) + tolerance) * 1000
+            else:  # refs-only: sweep when the oldest ref exits the horizon
+                timeout_ms = (min(r["t"] for r in live_refs) + 2 * tolerance) * 1000
+            try:
+                wm_ms = state.getCurrentWatermarkMs()
+                set_timeout = state.setTimeoutTimestamp
+            except AttributeError:
+                pass
+            else:
+                set_timeout(max(timeout_ms, wm_ms + 1000))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_names)
+
+    return fn
+
+
 def streaming_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -335,6 +428,44 @@ def streaming_asof_join_forward(
     Same end-of-stream note as the backward operator: drained
     ``availableNow`` runs need a clock row past
     ``last probe + tolerance + delay_seconds`` to flush the tail."""
+    return _run_tolerance_asof(
+        _make_asof_forward_state_fn, left, right, by, tolerance, left_ts, right_ts,
+        suffix, delay_seconds,
+    )
+
+
+def streaming_asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    tolerance: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_right",
+    delay_seconds: int = 0,
+) -> DataFrame:
+    """NATIVE tolerance-bounded NEAREST as-of join: each probe fills
+    with the closer of its nearest-prior / nearest-next reference
+    (exact tie → backward), nulled when that pick sits further than
+    ``tolerance`` seconds — identical to the batch
+    ``asof_join(direction='nearest', tolerance=...)`` applied in the
+    same pick-then-null order (parity-tested on the shared fixture).
+
+    Like the forward operator, the tolerance makes emission
+    watermark-final (probe closes at wm > T + tolerance) and bounds
+    state by construction — here to the 2·tolerance ref horizon, which
+    the state-fn docstring proves output-invariant vs batch."""
+    return _run_tolerance_asof(
+        _make_asof_nearest_state_fn, left, right, by, tolerance, left_ts, right_ts,
+        suffix, delay_seconds,
+    )
+
+
+def _run_tolerance_asof(
+    fn_factory, left, right, by, tolerance, left_ts, right_ts, suffix, delay_seconds
+) -> DataFrame:
+    """Shared union/tag/watermark plumbing for the tolerance-bounded
+    directions (same shape as the backward operator above)."""
     if tolerance is None or tolerance < 0:
         raise ValueError(f"tolerance must be a non-negative number of seconds, got {tolerance!r}")
     lcols = list(left.columns)
@@ -362,7 +493,7 @@ def streaming_asof_join_forward(
         .withColumn("_evt", F.timestamp_seconds(F.col("_ts")))
         .withWatermark("_evt", f"{delay_seconds} seconds")
     )
-    fn = _make_asof_forward_state_fn(
+    fn = fn_factory(
         by, lcols, rcols, suffix, [f.name for f in out_fields], tolerance=int(tolerance)
     )
     return u.groupBy(by).applyInPandasWithState(

@@ -417,3 +417,103 @@ def test_forward_state_self_expires_without_ttl():
     # wm past ref ts + tolerance: ref compacted, state REMOVED — no
     # retained-forever row, no ttl needed
     assert not run(300_000, [ref]).exists
+
+
+def test_streaming_asof_nearest_native_matches_batch(spark, tmp_path):
+    """NATIVE tolerance-bounded nearest: closer-of-two pick (exact tie →
+    backward) then tolerance-null — exactly the batch
+    asof_join(direction='nearest', tolerance=TOL) order."""
+    from post_ocr_corretion_spark.streaming.asof import streaming_asof_join_nearest
+
+    TOL = 60
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    _write(spark, LEFT_ROWS, L_SCHEMA, src_l)
+    _write(spark, RIGHT_ROWS, R_SCHEMA, src_r)
+
+    def drain():
+        left = spark.readStream.schema(L_SCHEMA).parquet(src_l)
+        right = spark.readStream.schema(R_SCHEMA).parquet(src_r)
+        q = (
+            streaming_asof_join_nearest(left, right, by="user_id", tolerance=TOL)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    _write(spark, CLOCK, R_SCHEMA, src_r)
+    drain()
+    _write(spark, [("zz", 1_000_200, 0.0)], R_SCHEMA, src_r)
+    drain()
+
+    got = sorted(
+        (r.user_id, r.ts, r.lval, r.ts_right, r.rval_right)
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch_left = spark.createDataFrame(LEFT_ROWS, L_SCHEMA)
+    batch_right = spark.createDataFrame(RIGHT_ROWS + CLOCK, R_SCHEMA)
+    want = sorted(
+        (r.user_id, r.ts, r.lval, r.ts_right, r.rval_right)
+        for r in asof_join(
+            batch_left, batch_right, by="user_id", direction="nearest", tolerance=TOL
+        ).collect()
+    )
+    assert got == want
+    filled = {(u, t): rt for u, t, _, rt, _ in got}
+    assert filled[("a", 205)] == 200   # closer-of-two: 200 (d=5) beats 300 (d=95)
+    assert filled[("a", 200)] == 200   # exact tie at distance 0 → backward pick
+    assert filled[("a", 400)] is None  # nearest (300, d=100) beyond TOL → null
+    assert filled[("a", 50)] == 80     # forward-only candidate inside TOL
+
+
+def test_nearest_state_horizon_is_two_tolerances():
+    """Refs compact to t >= wm − 2·tolerance (output-invariant vs batch,
+    see the state-fn docstring); a refs-only state past the horizon is
+    removed — bounded with no ttl knob."""
+    import json
+
+    import pandas as pd
+
+    from post_ocr_corretion_spark.streaming.asof import _make_asof_nearest_state_fn
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self.exists, self.value, self.timeout, self._wm = False, None, None, wm_ms
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    def run(wm_ms, batch_rows):
+        fn = _make_asof_nearest_state_fn(
+            "user_id", ["user_id", "ts", "lval"], ["ts", "rval"], "_right",
+            ["user_id", "ts", "lval", "ts_right", "rval_right"], tolerance=100,
+        )
+        st = FakeState(wm_ms)
+        list(fn(("k",), iter([pd.DataFrame(batch_rows)]), st))
+        return st
+
+    ref = {"_ts": 100, "_is_ref": 1, "_data": json.dumps({"ts": 100, "rval": 1.0})}
+    # wm=250: 100 >= 250-200 → kept; sweep armed at t + 2·tol = 300 s
+    st = run(250_000, [ref])
+    assert st.exists and st.timeout == (100 + 200) * 1000
+    # wm past t + 2·tol → compacted away, state removed
+    assert not run(301_000, [ref]).exists
