@@ -1411,6 +1411,269 @@ def q_tpch_q2_min_price_supplier(spark, sf):
     )
 
 
+def _dec(c):
+    return F.col(c).cast("decimal(18,4)")
+
+
+def q_tpch_q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: single-scan filtered aggregate — every predicate
+    pushes to the parquet scan (shipdate range + discount band +
+    quantity cap), no join, no shuffle beyond the final partial-agg
+    exchange."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q8_market_share(spark, sf):
+    """TPC-H Q8 shape (national market share): of STANDARD-part revenue
+    sold to EUROPE customers in 1995-1996, the share supplied by
+    NATION_7, per order year — conditional-sum over a six-table join.
+    Exact decimal num/den; the share divides the two emitted doubles."""
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.alias("nc")), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.alias("ns")), F.col("s_nationkey") == F.col("ns.n_nationkey")
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("ns.n_name") == "NATION_7", vol).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q9_product_profit(spark, sf):
+    """TPC-H Q9 shape (product-type profit): profit on 'red' parts by
+    supplier nation and order year. No partsupp here, so retail cost
+    (p_retailprice × quantity) plays ps_supplycost's role — the join
+    graph (part ⋈ lineitem ⋈ orders ⋈ supplier ⋈ nation) and the
+    amount expression shape are Q9's."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def q_tpch_q11_important_stock(spark, sf):
+    """TPC-H Q11 shape (group-by HAVING vs a global scalar subquery):
+    per-part traded value vs a fraction of the whole-corpus total. The
+    global total rides a broadcast single-row cross join — no collect,
+    no second scan (AQE reuses the exchange). The threshold compare
+    (value × 1250 > total ⟺ value > 0.0008·total) runs on doubles CAST
+    from the exact decimal sums — identical IEEE ops on identical
+    inputs in both engines, and no decimal-width overflow to diverge
+    on (decimal×integer widening rules differ across engines)."""
+    li = _t(spark, sf, "lineitem")
+    vals = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value_dec")
+    )
+    total = vals.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") * 1250 > F.col("total_dec").cast("double")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+def q_tpch_q12_priority_shipping(spark, sf):
+    """TPC-H Q12 shape (two conditional counts per class): high- vs
+    low-priority order counts per return flag for 1997 shipments.
+    l_returnflag stands in for the absent l_shipmode; the CASE-sum pair
+    over the orders ⋈ lineitem join is Q12's exact aggregate shape."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape (promotion effect): PROMO-part share of March-1996
+    revenue — conditional numerator over the part ⋈ lineitem join,
+    exact-decimal num/den emitted alongside the rounded percentage."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6).alias(
+                "promo_pct"
+            ),
+        )
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape (view + scalar-max subquery → argmax join): the
+    supplier(s) with maximum Q1-1996 revenue. The revenue 'view' is one
+    grouped aggregate; its max rides a broadcast single-row cross join
+    and the tie-safe equality runs on exact decimals."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias(
+            "rev_dec"
+        )
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+def q_tpch_q17_small_quantity(spark, sf):
+    """TPC-H Q17 shape (correlated avg subquery → per-group join-back):
+    yearly revenue lost to small orders — Brand#3 lineitems whose
+    quantity sits under 20% of that part's average quantity. The
+    correlation becomes one grouped aggregate joined back on partkey;
+    the 0.2·avg compare is cross-multiplied (qty·5·n < Σqty, Σ exact
+    decimal cast to double) so no engine-dependent division or
+    decimal-widening rule decides a row — the compare is the same IEEE
+    double sequence on the same inputs in both engines."""
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    li = _t(spark, sf, "lineitem")
+    jj = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = jj.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    return (
+        jj.join(stats, "l_partkey")
+        .filter(
+            F.col("l_quantity") * 5 * F.col("n_li") < F.col("sum_qty").cast("double")
+        )
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def q_tpch_q20_potential_promotion(spark, sf):
+    """TPC-H Q20 shape (nested IN-subqueries → semi-join chain):
+    suppliers in the NATION_1x block who shipped more than 30 units of
+    some 'blue' part during 1996. Both IN levels lower to left-semi
+    joins; the part probe is broadcast."""
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%blue%"))
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name").like("NATION_1%"))
+    qualifying = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins on lineitem): per
+    supplier, finalized-order lineitems shipped late (>60 days after
+    the order date) on multi-supplier orders where NO other supplier
+    was also late — the sole-blame count. No receipt/commit dates in
+    this corpus, so ship-lag defines 'late'; the l1/l2/l3 exists
+    structure is Q21's, lowered to one semi- and one anti-join."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    l1 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = l1.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    return (
+        l1.join(l2, (l1.l_orderkey == F.col("ok2")) & (l1.l_suppkey != F.col("sk2")), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("ok3")) & (l1.l_suppkey != F.col("sk3")), "left_anti")
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q_asof_events(spark, sf):
     """As-of join (operators/asof.py): each click event picks up the most
     recent at-or-before view event's value per user — checked against
@@ -1880,6 +2143,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_lexicon_words": q_a2_lexicon_words,
         "a2_word_frequencies": q_a2_word_frequencies,
         "segmentation_eval": q_segmentation_eval,
+        # -- slots 41-50: the ten TPC-H shapes NEW this round (q6 scan-agg,
+        # q8 market share, q9 profit, q11 scalar-subquery HAVING, q12
+        # conditional counts, q14 promo ratio, q15 argmax view, q17
+        # correlated avg, q20 nested-IN semi chain, q21 exists/not-exists)
+        # — never driver-gated, so they outrank the r4-verified recycles
+        # they displace (which move to the head of the r7 queue below) --
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+        "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
         "j5_customers_without_orders": q_j5_customers_without_orders,
         "j6_customers_with_orders": q_j6_customers_with_orders,
         "j7_region_nation_cross": q_j7_region_nation_cross,
@@ -1890,7 +2170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_volume": q_tpch_q5_local_volume,
         "cube_counts": q_cube_counts,
         "distinct_counts": q_distinct_counts,
-        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
         "s3_limit_top50": q_s3_limit_top50,
         "u3_except_nations": q_u3_except_nations,
         "u2_intersect_nations": q_u2_intersect_nations,
@@ -2167,6 +2446,140 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+              SELECT EXTRACT(year FROM o_orderdate) AS o_year, ns.n_name AS supp_nation,
+                     CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS vol
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region ON nc.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+              WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+                AND o_orderdate >= '1995-01-01' AND o_orderdate <= '1996-12-31'
+            ), a AS (
+              SELECT CAST(o_year AS INT) AS o_year,
+                     CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+                     CAST(sum(vol) AS DOUBLE) AS total_volume
+              FROM j GROUP BY o_year
+            )
+            SELECT o_year, nation_volume, total_volume,
+                   round(nation_volume / total_volume, 6) AS mkt_share
+            FROM a
+        """,
+        "tpch_q9_product_profit": """
+            SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                            - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit,
+                   count(*) AS n_lines
+            FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+        """,
+        "tpch_q11_important_stock": """
+            WITH v AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS value_dec
+              FROM lineitem GROUP BY l_partkey
+            ), t AS (SELECT sum(value_dec) AS total_dec FROM v)
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM v, t
+            WHERE CAST(value_dec AS DOUBLE) * 1250 > CAST(total_dec AS DOUBLE)
+        """,
+        "tpch_q12_priority_shipping": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+            GROUP BY l_returnflag
+        """,
+        "tpch_q14_promo_revenue": """
+            WITH a AS (
+              SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+            FROM a
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY l_suppkey
+            ), m AS (SELECT max(rev_dec) AS max_dec FROM revenue)
+            SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+            FROM revenue CROSS JOIN m
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_dec = max_dec
+        """,
+        "tpch_q17_small_quantity": """
+            WITH jj AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#3'
+            ), stats AS (
+              SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+                     count(*) AS n_li
+              FROM jj GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+                   count(*) AS n_small
+            FROM jj JOIN stats USING (l_partkey)
+            WHERE l_quantity * 5 * n_li < CAST(sum_qty AS DOUBLE)
+        """,
+        "tpch_q20_potential_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name LIKE 'NATION_1%'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+                  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 30
+              )
+        """,
+        "tpch_q21_waiting_suppliers": """
+            SELECT s_name, count(*) AS numwait
+            FROM lineitem l1
+              JOIN orders ON l1.l_orderkey = o_orderkey
+              JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND o3.o_orderstatus = 'F'
+                  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s_name
         """,
         "sessionize": """
             WITH o AS (

@@ -50,16 +50,16 @@ R6_WINDOW = [
     "a2_lexicon_words",
     "a2_word_frequencies",
     "segmentation_eval",
-    "j5_customers_without_orders",
-    "j6_customers_with_orders",
-    "j7_region_nation_cross",
-    "a7_a8_group_stats",
-    "a10_prf",
-    "rollup_counts",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "cube_counts",
-    "distinct_counts",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
     ]
 
 
