@@ -685,6 +685,34 @@ def q_d2_split_to_fit(spark, sf):
     return split_to_fit(d, "seq")
 
 
+def q_repeated_ngram_spans(spark, sf):
+    """Exact-substring dedup, detection stage (operators/
+    substring_dedup.repeated_ngram_spans, Lee et al. 2021): merged
+    per-document spans of substrings >= 20 tokens that occur >= 2
+    times corpus-wide. fingerprint='exact' so DuckDB replays the gram
+    identity bit-for-bit; the xxhash64 scale path is asserted
+    span-identical by tests/test_substring_dedup.py."""
+    from post_ocr_corretion_spark.operators.substring_dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(
+        _t(spark, sf, "documents"), k=20, fingerprint="exact"
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def q_substring_dedup_clean(spark, sf):
+    """Exact-substring dedup, scrub stage (operators/substring_dedup.
+    remove_repeated_spans): every duplicated >=20-token span cut out of
+    the text, span-free docs passing through verbatim — the write-side
+    form a training-table build consumes. Token filtering is a Catalyst
+    exists() HOF over the per-doc span structs (no Python, one join past
+    the span computation)."""
+    from post_ocr_corretion_spark.operators.substring_dedup import remove_repeated_spans
+
+    return remove_repeated_spans(
+        _t(spark, sf, "documents"), k=20, fingerprint="exact"
+    ).select("doc_id", "text", "n_removed_tokens")
+
+
 def q_pii_redact(spark, sf):
     """PII redaction (operators/scrub.redact_pii): email/IPv4/phone →
     sentinel tokens with per-class hit counts from the same pass — the
@@ -2141,8 +2169,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
         "a2_lexicon_words": q_a2_lexicon_words,
-        "a2_word_frequencies": q_a2_word_frequencies,
-        "segmentation_eval": q_segmentation_eval,
+        # -- slots 39-40: exact-substring dedup (Lee et al. 2021), NEW this
+        # round — never-gated, displacing two more r4-verified recycles
+        # (a2_word_frequencies, segmentation_eval → r7 queue; the latter
+        # is rows-only, so its hard gate is the local byte-parity suite
+        # either way) --
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
         # -- slots 41-50: the ten TPC-H shapes NEW this round (q6 scan-agg,
         # q8 market share, q9 profit, q11 scalar-subquery HAVING, q12
         # conditional counts, q14 promo ratio, q15 argmax view, q17
@@ -2160,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "a2_word_frequencies": q_a2_word_frequencies,
+        "segmentation_eval": q_segmentation_eval,
         "j5_customers_without_orders": q_j5_customers_without_orders,
         "j6_customers_with_orders": q_j6_customers_with_orders,
         "j7_region_nation_cross": q_j7_region_nation_cross,
@@ -2446,6 +2481,78 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "repeated_ngram_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            w AS (
+              SELECT doc_id, p1 - 1 AS pos,
+                     array_to_string(list_slice(t, p1, p1 + 19), ' ') AS gh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 18, 1))) AS s(p1)
+            ),
+            dup AS (SELECT gh FROM w GROUP BY gh HAVING count(*) >= 2),
+            m AS (SELECT doc_id, pos FROM w WHERE gh IN (SELECT gh FROM dup)),
+            x AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR pos >= max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS nw
+              FROM m
+            ),
+            y AS (
+              SELECT doc_id, pos,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM x
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 20 AS BIGINT) AS span_end, count(*) AS n_windows
+            FROM y GROUP BY doc_id, island
+        """,
+        "substring_dedup_clean": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            w AS (
+              SELECT doc_id, p1 - 1 AS pos,
+                     array_to_string(list_slice(t, p1, p1 + 19), ' ') AS gh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 18, 1))) AS s(p1)
+            ),
+            dup AS (SELECT gh FROM w GROUP BY gh HAVING count(*) >= 2),
+            m AS (SELECT doc_id, pos FROM w WHERE gh IN (SELECT gh FROM dup)),
+            x AS (
+              SELECT doc_id, pos,
+                     CASE WHEN max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR pos >= max(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS nw
+              FROM m
+            ),
+            y AS (
+              SELECT doc_id, pos,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM x
+            ),
+            spans AS (
+              SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e FROM y GROUP BY doc_id, island
+            ),
+            tok AS (
+              SELECT doc_id, p1 - 1 AS pos, t[p1] AS word
+              FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS s(p1)
+            ),
+            kept AS (
+              SELECT tok.doc_id, pos, word FROM tok
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans
+                WHERE spans.doc_id = tok.doc_id AND pos >= s AND pos < e
+              )
+            )
+            SELECT d.doc_id,
+                   coalesce((SELECT string_agg(word, ' ' ORDER BY pos)
+                             FROM kept WHERE kept.doc_id = d.doc_id), '') AS text,
+                   CAST(len(string_split(d.text, ' ')) -
+                        (SELECT count(*) FROM kept WHERE kept.doc_id = d.doc_id)
+                        AS BIGINT) AS n_removed_tokens
+            FROM documents d
         """,
         "tpch_q6_forecast_revenue": """
             SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

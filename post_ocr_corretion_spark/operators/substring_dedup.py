@@ -1,0 +1,165 @@
+"""Exact-substring deduplication via repeated token-n-gram spans — the
+distributed formulation of suffix-array training-data dedup (Lee et al.
+2021, "Deduplicating Training Data Makes Language Models Better"): a
+substring of >= k tokens is duplicated iff EVERY length-k token window
+inside it is duplicated, so marking all k-windows whose fingerprint
+occurs >= min_count times corpus-wide and merging the overlapping marked
+windows per document recovers exactly the spans of all maximal
+duplicated substrings of length >= k. No suffix array, no single-node
+sort — the corpus-wide structure lives in one hash aggregate on the
+window fingerprint.
+
+Scale shape (the 100 TB story):
+- window enumeration is pure Catalyst (split → transform over a
+  sequence → posexplode); text bytes never reach Python;
+- the duplicate-fingerprint set is ONE hash aggregate (map-side
+  partial count) followed by an equi-join back — a hot boilerplate
+  gram inflates the join output linearly (its own occurrence count),
+  never quadratically, because the duplicate side is distinct
+  fingerprints;
+- span merging is a per-document window (gaps-and-islands over a
+  running max), bounded by document length — no cross-document state;
+- with fingerprint='xxhash64' only 8-byte hashes shuffle, never gram
+  strings; 'exact' ships the gram text for oracle-exact replay and is
+  asserted span-identical to the hash path on the test corpus (a
+  divergence would need an xxhash64 collision between two distinct
+  grams that co-occur in one corpus).
+
+Reference scope note: the OCR reference (report.pdf §2) has no corpus
+dedup at all — this operator family comes from the round-1 brief's
+training-data-pipeline mandate, not from reference parity.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_ngram_windows(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Every length-k token window of every document:
+    (id_col, pos, gh) with pos the 0-based token index of the window
+    start and gh the window fingerprint (xxhash64 of the
+    space-rejoined gram, or the gram string itself with
+    fingerprint='exact').
+
+    Documents shorter than k tokens contribute no windows (and are
+    therefore never flagged — a doc that IS a duplicate below the
+    window length belongs to exact/MinHash dedup, not substring
+    dedup)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 tokens, got {k}")
+    if fingerprint not in ("xxhash64", "exact"):
+        raise ValueError(f"fingerprint must be 'xxhash64' or 'exact', got {fingerprint!r}")
+    toks = F.split(F.col(text_col), " ")
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    fp = (lambda i: F.xxhash64(gram(i))) if fingerprint == "xxhash64" else gram
+    return (
+        docs.filter(F.size(toks) >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(F.sequence(F.lit(0), F.size(toks) - k), fp)
+            ).alias("pos", "gh"),
+        )
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Merged spans of corpus-duplicated substrings per document:
+    (id_col, span_start, span_end, n_windows) with token positions
+    [span_start, span_end) half-open and n_windows the number of
+    duplicated k-windows the span absorbs.
+
+    A window is duplicated when its fingerprint occurs >= min_count
+    times across ALL positions corpus-wide (cross-document AND
+    within-document repeats both count, matching Lee et al.'s
+    any-second-occurrence rule). Overlapping duplicated windows merge
+    (share >= 1 token); touching-but-disjoint spans stay separate."""
+    w = token_ngram_windows(docs, k, text_col, id_col, fingerprint)
+    dup = (
+        w.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("gh")
+    )
+    marked = w.join(dup, "gh").select(id_col, "pos")
+    prev = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_end = F.max(F.col("pos") + k).over(prev)
+    return (
+        marked.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("pos") >= prev_end), 1).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(run))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("_island")
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Documents with every duplicated span scrubbed out of the text:
+    all input rows and columns, text_col rewritten to the kept tokens
+    (space-rejoined) plus n_removed_tokens. Docs without spans (or
+    shorter than k) pass through with n_removed_tokens = 0.
+
+    The span list rides a per-doc aggregate joined back once; token
+    filtering is a Catalyst HOF over the split array (exists() probe
+    into the span structs) — no Python, no second shuffle past the
+    span join."""
+    spans = repeated_ngram_spans(docs, k, min_count, text_col, id_col, fingerprint)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("span_start", "span_end"))).alias("_spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.transform(toks, lambda x, i: F.struct(i.alias("i"), x.alias("w"))),
+        lambda s: ~F.exists(
+            spans_arr,
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+        ),
+    )
+    out_cols = docs.columns
+    return (
+        docs.join(per_doc, id_col, "left")
+        .withColumn("_kept", kept)
+        .withColumn(
+            "n_removed_tokens", (F.size(toks) - F.size("_kept")).cast("long")
+        )
+        .withColumn(text_col, F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["w"])))
+        .select(*out_cols, "n_removed_tokens")
+    )

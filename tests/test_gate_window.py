@@ -48,8 +48,8 @@ R6_WINDOW = [
     "p4_despace",
     "p6_strip_punct",
     "a2_lexicon_words",
-    "a2_word_frequencies",
-    "segmentation_eval",
+    "repeated_ngram_spans",
+    "substring_dedup_clean",
     "tpch_q6_forecast_revenue",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
