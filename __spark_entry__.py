@@ -713,6 +713,19 @@ def q_substring_dedup_clean(spark, sf):
     ).select("doc_id", "text", "n_removed_tokens")
 
 
+def q_shuffle_shards(spark, sf):
+    """Deterministic corpus shuffle (operators/shuffle.py): seeded md5
+    permutation → (shard, pos_in_shard) for a 16-shard training layout.
+    One shuffle partitioned by shard (the parallelism unit); DuckDB
+    replays the identical md5 hex, shard arithmetic, and in-shard
+    rank."""
+    from post_ocr_corretion_spark.operators.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _t(spark, sf, "documents"), n_shards=16, seed="r6"
+    ).select("doc_id", "shard", "pos_in_shard")
+
+
 def q_pii_redact(spark, sf):
     """PII redaction (operators/scrub.redact_pii): email/IPv4/phone →
     sentinel tokens with per-class hit counts from the same pass — the
@@ -2168,7 +2181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
-        "a2_lexicon_words": q_a2_lexicon_words,
+        # -- slot 38: deterministic training-shard shuffle, NEW this round
+        # (a2_lexicon_words → r7 queue) --
+        "shuffle_shards": q_shuffle_shards,
         # -- slots 39-40: exact-substring dedup (Lee et al. 2021), NEW this
         # round — never-gated, displacing two more r4-verified recycles
         # (a2_word_frequencies, segmentation_eval → r7 queue; the latter
@@ -2193,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "a2_lexicon_words": q_a2_lexicon_words,
         "a2_word_frequencies": q_a2_word_frequencies,
         "segmentation_eval": q_segmentation_eval,
         "j5_customers_without_orders": q_j5_customers_without_orders,
@@ -2481,6 +2497,19 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id, md5('r6' || '#' || CAST(doc_id AS VARCHAR)) AS hh
+              FROM documents
+            ), s AS (
+              SELECT doc_id, hh,
+                     CAST(('0x' || substr(hh, 1, 16))::UBIGINT % 16 AS BIGINT) AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos_in_shard
+            FROM s
         """,
         "repeated_ngram_spans": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

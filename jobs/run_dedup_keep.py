@@ -7,14 +7,23 @@ the individually-gated dedup stages, composed and shipped).
     spark-submit --py-files /tmp/pkg.zip jobs/run_dedup_keep.py \
         --sf-dir /root/testdata/sf0.01 --out /tmp/dedup_keep_out
 
-Two optional downstream stages make it the full training-table build:
+Four optional downstream stages make it the full training-table build:
 ``--decontaminate-bench LO:HI`` drops kept docs sharing word n-grams
-with the benchmark range (operators/scrub.decontaminate, drop mode) and
+with the benchmark range (operators/scrub.decontaminate, drop mode),
+``--substring-scrub K`` cuts corpus-duplicated spans of >= K tokens out
+of the kept text (operators/substring_dedup, Lee et al. 2021),
 ``--redact-pii`` replaces email/IPv4/phone with sentinels in the kept
-text (per-class hit totals join the counters). dedup → decontaminate →
-redact → snapshot is the canonical pre-training order: dedup first so
-scrubbing cost is paid once per kept doc, decontaminate before redact
-so sentinel tokens can't mask an n-gram overlap.
+text (per-class hit totals join the counters), and ``--shuffle-shards
+N`` [``--shuffle-seed S``] assigns every surviving doc a reproducible
+(shard, pos_in_shard) training layout (operators/shuffle.py). The
+stage order — dedup → decontaminate → substring-scrub → redact →
+shuffle → snapshot — is deliberate: dedup first so every later stage
+pays per KEPT doc; decontaminate before any rewrite so sentinel tokens
+can't mask an n-gram overlap; substring-scrub before redact because
+PII sentinels are intentionally repeated tokens (scrubbing after
+redaction would see sentinel-dense windows as corpus duplicates and
+cut real text around them); shuffle last so positions cover exactly
+the rows being written.
 
 Same sink contract as run_extract_correct.py: atomic manifest commit,
 per-file lineage rows, crash-safe resume (re-run → ``"resumed": true``
@@ -53,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
         help="replace email/IPv4/phone with sentinel tokens in the kept text "
         "(text column is REPLACED; per-class hit totals land in the counters)",
     )
+    parser.add_argument(
+        "--substring-scrub",
+        type=int,
+        default=None,
+        metavar="K",
+        help="remove corpus-duplicated token spans of >= K tokens from kept text",
+    )
+    parser.add_argument(
+        "--shuffle-shards",
+        type=int,
+        default=None,
+        metavar="N",
+        help="assign (shard, pos_in_shard) over N shards to the written table",
+    )
+    parser.add_argument("--shuffle-seed", default="0")
     parser.add_argument("--new-snapshot", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
@@ -96,6 +120,13 @@ def main(argv: list[str] | None = None) -> int:
                 .select("text")
             )
             kept = decontaminate(kept, bench, n=args.decontaminate_n, mode="drop")
+        if args.substring_scrub:
+            from post_ocr_corretion_spark.operators.substring_dedup import (
+                remove_repeated_spans,
+            )
+
+            kept = remove_repeated_spans(kept, k=args.substring_scrub)
+            counters += [F.sum("n_removed_tokens").alias("span_tokens_removed")]
         if args.redact_pii:
             from post_ocr_corretion_spark.operators.scrub import redact_pii
 
@@ -109,6 +140,12 @@ def main(argv: list[str] | None = None) -> int:
                 F.sum("n_ipv4").alias("ips_redacted"),
                 F.sum("n_phone").alias("phones_redacted"),
             ]
+        if args.shuffle_shards:
+            from post_ocr_corretion_spark.operators.shuffle import deterministic_shuffle
+
+            kept = deterministic_shuffle(
+                kept, n_shards=args.shuffle_shards, seed=args.shuffle_seed
+            )
         return kept.observe(obs, *counters)
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731

@@ -47,7 +47,7 @@ R6_WINDOW = [
     "langid",
     "p4_despace",
     "p6_strip_punct",
-    "a2_lexicon_words",
+    "shuffle_shards",
     "repeated_ngram_spans",
     "substring_dedup_clean",
     "tpch_q6_forecast_revenue",
