@@ -667,6 +667,49 @@ def q_ivf_ann_topk(spark, sf):
     )
 
 
+def q_pq_ann_topk(spark, sf):
+    """Product-quantization ANN (operators/pq.py: 16 subspaces × 16
+    centroids = 32× compression at d=64, ADC lookup search + exact
+    re-rank of 50 candidates), gated via the ivf_ann_topk pattern: the
+    emitted rows are the deterministic brute-force top-5 on the RAW
+    embeddings (bit-identical to DuckDB), plus two in-plan verdicts —
+    per-qid ``n_pq`` (PQ must return a full top-5; an encode/ADC bug
+    under-fills and goes red against the literal 5) and ``recall_ok``
+    (PQ∩exact ≥ 12 of 15, recall ≥ 0.8; measured 15/15 — the margin
+    absorbs the subspace-k-means float-sum-order nondeterminism). The
+    full PQ plan (one-scan-per-iteration distributed fit, Catalyst
+    argmin encode, query-side ADC tables below the join, candidate
+    re-rank) runs inside the gated query; only the ksub×d codebook
+    stats ever reach the driver."""
+    from post_ocr_corretion_spark.operators.pq import pq_adc_topk, pq_fit
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    embn = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    ).filter(norm > 0)
+    qn = embn.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cb = pq_fit(embn, m=16, ksub=16, iters=3)
+    pq = (
+        pq_adc_topk(embn, qn, cb, k=5, cand=50)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(emb, q, k=5)
+    marked = bf.join(pq, ["qid", "vec_id"], "left")
+    pq_counts = pq.groupBy("qid").agg(F.count(F.lit(1)).alias("n_pq"))
+    total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
+    return marked.join(pq_counts, "qid").select(
+        "qid", "rnk", "vec_id", "cos", "n_pq", (total_hits >= F.lit(12)).alias("recall_ok")
+    )
+
+
 def q_j3_labels(spark, sf):
     from post_ocr_corretion_spark.operators.labels import window_containment_labels
 
@@ -2180,7 +2223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_orders": q_w1_topk_orders,
         "langid": q_langid,
         "p4_despace": q_p4_despace,
-        "p6_strip_punct": q_p6_strip_punct,
+        # -- slot 37: product-quantization ANN, NEW this round
+        # (p6_strip_punct → r7 queue) --
+        "pq_ann_topk": q_pq_ann_topk,
         # -- slot 38: deterministic training-shard shuffle, NEW this round
         # (a2_lexicon_words → r7 queue) --
         "shuffle_shards": q_shuffle_shards,
@@ -2208,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "p6_strip_punct": q_p6_strip_punct,
         "a2_lexicon_words": q_a2_lexicon_words,
         "a2_word_frequencies": q_a2_word_frequencies,
         "segmentation_eval": q_segmentation_eval,
@@ -3009,6 +3055,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag AND m.rn = 1
             GROUP BY li.l_returnflag
+        """,
+        "pq_ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT qid, vec_id,
+                     round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM q CROSS JOIN e WHERE qid <> vec_id
+            ), rn AS (
+              SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_pq, TRUE AS recall_ok
+            FROM rn WHERE rnk <= 5
         """,
         "ivf_ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -46,7 +46,7 @@ R6_WINDOW = [
     "w1_topk_orders",
     "langid",
     "p4_despace",
-    "p6_strip_punct",
+    "pq_ann_topk",
     "shuffle_shards",
     "repeated_ngram_spans",
     "substring_dedup_clean",
