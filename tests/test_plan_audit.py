@@ -152,3 +152,59 @@ def test_decontaminate_broadcasts_the_benchmark_grams(spark):
     strategies = join_strategies(df)
     assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
     assert_columns_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_substring_spans_plan_shape(spark):
+    """repeated_ngram_spans: the duplicate-fingerprint side is an
+    aggregate joined back with an equi-join — no cartesian anywhere —
+    the islands window is partitioned (per doc), and the documents scan
+    reads only (doc_id, text)."""
+    import re
+
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    df = em.queries()["repeated_ngram_spans"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in spans plan"
+    assert_columns_pruned(df, ["lang", "source", "n_chars"])
+
+
+def test_substring_clean_is_pure_catalyst(spark):
+    """The scrub form keeps token filtering in an exists() HOF — no
+    Python eval of any kind in the plan."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["substring_dedup_clean"](spark, SF))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_shuffle_shards_has_no_global_sort(spark):
+    """deterministic_shuffle: the ONLY sort is the per-shard window —
+    no SinglePartition exchange, every window partitioned."""
+    import re
+
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["shuffle_shards"](spark, SF))
+    assert "SinglePartition" not in plan
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip() != "", "unpartitioned window in shuffle plan"
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding is a projection: zero exchanges, zero Python — the
+    codes column computes in whole-stage codegen over the scan."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.pq import pq_encode
+    from post_ocr_corretion_spark.plans.audit import count_exchanges, formatted_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = [[[0.1 * (s + j + p) for p in range(4)] for j in range(4)] for s in range(16)]
+    df = pq_encode(emb, cb)
+    assert count_exchanges(df) == 0
+    assert "EvalPython" not in formatted_plan(df)
