@@ -359,7 +359,7 @@ def run_scaling_submit() -> None:
         "value": eff("adj_docs_per_sec"),
         "raw_value": eff("docs_per_sec"),
         "compute_only_value": eff("noop_adj_docs_per_sec") if both_sinks else None,
-        "compute_only_citable": (both_sinks and not inverted) or None,
+        "compute_only_citable": (not inverted) if both_sinks else None,
         "inverted_noop_levels": inverted or None,
         "unit": "ratio",
         "levels": {str(k): v for k, v in results.items()},
