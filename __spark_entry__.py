@@ -710,6 +710,46 @@ def q_pq_ann_topk(spark, sf):
     )
 
 
+def q_ivfpq_ann_topk(spark, sf):
+    """IVF-PQ — the composed faiss-style index (operators/pq.py:
+    ivfpq_fit/ivfpq_topk): coarse k-means lists + PQ on RESIDUALS,
+    search probes 4 of 8 lists and scores members by q·c_list + ADC
+    residual lookups, then exact-re-ranks 30 candidates. Gated via the
+    ivf pattern: rows are the deterministic brute-force top-5; verdicts
+    are per-qid ``n_ivfpq`` (full top-5 required) and ``recall_ok``
+    (≥ 7 of 15; measured 10/15 twice — on this near-isotropic corpus
+    the ceiling is probe coverage, the same band the plain-IVF gate
+    documents; the planted-cluster ≥0.8 assertion lives in
+    tests/test_pq.py)."""
+    from post_ocr_corretion_spark.operators.pq import ivfpq_fit, ivfpq_topk
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    embn = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    ).filter(norm > 0)
+    qn = embn.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cents, cb = ivfpq_fit(embn, n_lists=8, m=16, ksub=16, iters=2, coarse_iters=3)
+    ann = (
+        ivfpq_topk(embn, qn, cents, cb, k=5, nprobe=4, cand=30)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(emb, q, k=5)
+    marked = bf.join(ann, ["qid", "vec_id"], "left")
+    counts = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivfpq"))
+    total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
+    return marked.join(counts, "qid").select(
+        "qid", "rnk", "vec_id", "cos", "n_ivfpq", (total_hits >= F.lit(7)).alias("recall_ok")
+    )
+
+
 def q_j3_labels(spark, sf):
     from post_ocr_corretion_spark.operators.labels import window_containment_labels
 
@@ -2222,10 +2262,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
         "langid": q_langid,
-        "p4_despace": q_p4_despace,
-        # -- slot 37: product-quantization ANN, NEW this round
-        # (p6_strip_punct → r7 queue) --
+        # -- slots 36-37: product-quantization ANN + the composed IVF-PQ
+        # index, NEW this round (p4_despace, p6_strip_punct → r7 queue) --
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         # -- slot 38: deterministic training-shard shuffle, NEW this round
         # (a2_lexicon_words → r7 queue) --
         "shuffle_shards": q_shuffle_shards,
@@ -2253,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
         "a2_lexicon_words": q_a2_lexicon_words,
         "a2_word_frequencies": q_a2_word_frequencies,
@@ -3055,6 +3096,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag AND m.rn = 1
             GROUP BY li.l_returnflag
+        """,
+        "ivfpq_ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT qid, vec_id,
+                     round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM q CROSS JOIN e WHERE qid <> vec_id
+            ), rn AS (
+              SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_ivfpq, TRUE AS recall_ok
+            FROM rn WHERE rnk <= 5
         """,
         "pq_ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -178,3 +178,133 @@ def pq_adc_topk(
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ on residuals — the full faiss-style index
+# (probe a few lists, ADC only within them, exact re-rank at the end).
+# ---------------------------------------------------------------------------
+
+
+def _assign_and_residual(
+    emb: DataFrame, centroids: list[list[float]], keep: list[str], vec_col: str
+) -> DataFrame:
+    """``keep`` columns + (list_id, r): nearest coarse centroid by
+    cosine (the similarity.py assignment rule) and the residual
+    v − c_list — one pure-Catalyst projection, no shuffle."""
+    from .similarity import _centroid_scores
+
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    scores = _centroid_scores(F.col(vec_col), centroids)
+    best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents_lit, F.col("list_id") + 1),
+        lambda x, c: x - c,
+    )
+    return emb.select(*keep, best.alias("list_id")).withColumn("r", resid)
+
+
+def ivfpq_fit(
+    emb: DataFrame,
+    n_lists: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    coarse_iters: int = 5,
+    vec_col: str = "v",
+) -> tuple[list[list[float]], Codebooks]:
+    """(coarse centroids, residual codebooks): the coarse quantizer is
+    similarity.kmeans_centroids_distributed (only k×d stats to the
+    driver per iteration); the PQ codebooks fit the RESIDUALS v − c_list
+    (Jégou et al. §III: residual energy is what PQ must encode once the
+    list id is known). Both stages keep the bounded-driver-artifact
+    rule; vectors never leave the executors."""
+    from .similarity import kmeans_centroids_distributed
+
+    cents = kmeans_centroids_distributed(emb, k=n_lists, iters=coarse_iters, vec_col=vec_col)
+    resid = _assign_and_residual(emb, cents, [vec_col], vec_col).select("r")
+    cb = pq_fit(resid, m=m, ksub=ksub, iters=iters, vec_col="r")
+    return cents, cb
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    k: int = 5,
+    nprobe: int = 3,
+    cand: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-PQ search: probe the nprobe nearest lists per query and score
+    ONLY their members by ADC, exploiting q·v = q·c_list + q·r_v — the
+    q·c_list term is one dot per PROBE row (not per candidate) and
+    q·r_v is m residual-codeword lookups from the per-probe tables. The
+    ``cand`` best candidates then re-rank with the exact cosine.
+    Scans ~nprobe/n_lists of the corpus; full vectors are read only by
+    the re-rank join — candidate scoring touches the m-int codes.
+    Returns (qid, rnk, id, cos) like brute_force_topk."""
+    from .similarity import _centroid_scores, cosine
+
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    coded = _assign_and_residual(emb, centroids, [id_col, vec_col], vec_col)
+    codes = F.array(*[_argmin_code(F.col("r"), codebooks[s], s, sub_d) for s in range(m)])
+    corpus = coded.select(id_col, "list_id", codes.alias("codes"))
+    cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    qscores = _centroid_scores(F.col("qv"), centroids)
+    probes = queries.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            qscores,
+                            lambda sc, i: F.struct((-sc).alias("neg"), i.alias("list_id")),
+                        )
+                    ),
+                    lambda x: x["list_id"],
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("list_id"),
+    )
+
+    def _table(s: int) -> Column:
+        # single-param lambda (see pq_adc_topk note on the arity trap)
+        return F.transform(
+            _cb_lit(codebooks[s]), lambda c: dot(_sub(F.col("qv"), s, sub_d), c)
+        )
+
+    probes = probes.withColumn(
+        "_qc", dot(F.col("qv"), F.element_at(cents_lit, F.col("list_id") + 1))
+    ).withColumn("_t", F.array(*[_table(s) for s in range(m)]))
+    adc = F.col("_qc") + F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("_t"), s.cast("int") + 1),
+            F.element_at(F.col("codes"), s.cast("int") + 1) + 1,
+        ),
+    )
+    w_adc = W.partitionBy("qid").orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+    candidates = (
+        probes.join(corpus, "list_id")
+        .filter(F.col("qid") != F.col(id_col))
+        .select("qid", "qv", id_col, adc.alias("_adc"))
+        .withColumn("_crk", F.row_number().over(w_adc))
+        .filter(F.col("_crk") <= cand)
+        .drop("_adc", "_crk")
+    )
+    rescored = candidates.join(emb, id_col).select(
+        "qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

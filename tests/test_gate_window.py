@@ -45,8 +45,8 @@ R6_WINDOW = [
     "json_props",
     "w1_topk_orders",
     "langid",
-    "p4_despace",
     "pq_ann_topk",
+    "ivfpq_ann_topk",
     "shuffle_shards",
     "repeated_ngram_spans",
     "substring_dedup_clean",

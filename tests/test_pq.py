@@ -92,3 +92,48 @@ def test_validation(spark, clustered):
         pq_fit(empty, m=M, ksub=KSUB, iters=1)
     with pytest.raises(ValueError, match="need >="):
         pq_fit(clustered.filter(F.col("vec_id") < 4), m=M, ksub=KSUB, iters=1)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(clustered):
+    from post_ocr_corretion_spark.operators.pq import ivfpq_fit
+
+    return ivfpq_fit(clustered, n_lists=4, m=M, ksub=KSUB, iters=3, coarse_iters=4)
+
+
+def test_ivfpq_recall_on_planted_clusters(spark, clustered, ivfpq_index):
+    from post_ocr_corretion_spark.operators.pq import ivfpq_topk
+
+    cents, cb = ivfpq_index
+    q = clustered.filter(F.col("vec_id").isin(0, 20, 40)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = {(r.qid, r.vec_id) for r in brute_force_topk(clustered, q, k=5).collect()}
+    got = {
+        (r.qid, r.vec_id)
+        for r in ivfpq_topk(clustered, q, cents, cb, k=5, nprobe=2, cand=25).collect()
+    }
+    # planted clusters: a query's true neighbors share its (probed) list,
+    # and residual-PQ at ksub=8 resolves the 0.05 jitter — high recall
+    assert len(bf & got) / len(bf) >= 0.8
+
+
+def test_ivfpq_returns_full_topk_and_exact_cos(spark, clustered, ivfpq_index):
+    from post_ocr_corretion_spark.operators.pq import ivfpq_topk
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk as bft
+
+    cents, cb = ivfpq_index
+    q = clustered.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    out = ivfpq_topk(clustered, q, cents, cb, k=5, nprobe=2, cand=25).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.qid, []).append(r.rnk)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    # emitted cos values are EXACT (re-rank recomputes them), so any row
+    # that is also in brute force carries the identical rounded cosine
+    bf = {(r.qid, r.vec_id): r.cos for r in bft(clustered, q, k=5).collect()}
+    for r in out:
+        if (r.qid, r.vec_id) in bf:
+            assert r.cos == bf[(r.qid, r.vec_id)]
