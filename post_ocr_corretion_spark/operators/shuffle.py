@@ -39,17 +39,30 @@ def deterministic_shuffle(
     reproducible random permutation of the corpus, materialized as
     shard assignment + dense 0-based position within each shard.
     Distinct ids can never tie (md5 order, id tiebreak is therefore
-    only defensive), so the layout is partitioning-independent."""
+    only defensive), so the layout is partitioning-independent.
+
+    Rows with a NULL id cannot be placed reproducibly (every NULL
+    hashes identically, so their relative order would be
+    partitioning-dependent) — they are emitted with NULL
+    shard/pos_in_shard instead of a silently nondeterministic
+    placement; assign ids upstream or filter them."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    h = F.md5(F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string")))
+    nn = F.col(id_col).isNotNull()
+    h = F.when(
+        nn, F.md5(F.concat_ws("#", F.lit(str(seed)), F.col(id_col).cast("string")))
+    )
     shard = F.pmod(
-        F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(38,0)"), F.lit(n_shards)
+        F.conv(F.substring(F.col("_h"), 1, 16), 16, 10).cast("decimal(38,0)"),
+        F.lit(n_shards),
     ).cast("long")
     w = Window.partitionBy("shard").orderBy("_h", id_col)
     return (
         docs.withColumn("_h", h)
-        .withColumn("shard", shard)
-        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("shard", F.when(nn, shard))
+        .withColumn(
+            "pos_in_shard",
+            F.when(nn, (F.row_number().over(w) - 1).cast("long")),
+        )
         .drop("_h")
     )

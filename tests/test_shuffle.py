@@ -56,3 +56,14 @@ def test_single_shard_is_a_total_order(spark, docs):
 def test_validation():
     with pytest.raises(ValueError, match="n_shards"):
         deterministic_shuffle(None, n_shards=0)
+
+
+def test_null_ids_are_explicitly_unplaced(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c"), (None, "d")],
+        "doc_id long, text string",
+    )
+    out = {r.text: (r.shard, r.pos_in_shard) for r in deterministic_shuffle(docs, n_shards=4, seed="z").collect()}
+    assert out["b"] == (None, None) and out["d"] == (None, None)
+    placed = [v for k, v in out.items() if k in ("a", "c")]
+    assert all(s is not None and p is not None for s, p in placed)
