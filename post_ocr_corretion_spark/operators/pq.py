@@ -71,8 +71,13 @@ def pq_fit(
 ) -> Codebooks:
     """L2 Lloyd's per subspace, all subspaces in one scan per iteration.
     Init is the deterministic hash-ordered first ksub vectors' subvectors
-    (the similarity.py idiom). Empty clusters keep their previous
-    centroid. Returns codebooks[m][ksub][d/m]."""
+    (the similarity.py idiom; orderBy+limit plans as TakeOrdered — top-k
+    per partition, never a global sort). Empty clusters keep their
+    previous centroid. Returns codebooks[m][ksub][d/m].
+
+    Each iteration is one full pass over ``emb`` — persist/cache the
+    input DataFrame before a multi-iteration fit on a large corpus so
+    the scan (and any upstream normalization) is paid once."""
     first = emb.select(vec_col).first()
     if first is None:
         raise ValueError("pq_fit: empty input")

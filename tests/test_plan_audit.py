@@ -208,3 +208,18 @@ def test_pq_encode_is_map_only(spark):
     df = pq_encode(emb, cb)
     assert count_exchanges(df) == 0
     assert "EvalPython" not in formatted_plan(df)
+
+
+def test_r6_tpch_shapes_broadcast_and_lower_subqueries(spark):
+    """q8/q9 broadcast every dimension; q20's nested INs lower to
+    left-semi joins; q21's EXISTS/NOT EXISTS lower to one semi- and one
+    anti-join — never a cartesian."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    for name in ["tpch_q8_market_share", "tpch_q9_product_profit"]:
+        assert "BroadcastHashJoin" in join_strategies(em.queries()[name](spark, SF)), name
+    p20 = formatted_plan(em.queries()["tpch_q20_potential_promotion"](spark, SF))
+    assert "LeftSemi" in p20
+    p21 = formatted_plan(em.queries()["tpch_q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "CartesianProduct" not in p21
