@@ -796,6 +796,25 @@ def q_substring_dedup_clean(spark, sf):
     ).select("doc_id", "text", "n_removed_tokens")
 
 
+def q_dup_windows_ordered(spark, sf):
+    """Arrival-order keep-first duplicate windows (operators/
+    substring_dedup.duplicated_windows_ordered, ttl=100) — the batch
+    twin of the streaming substring-dedup operator (streaming/
+    substring_dedup.py, parity-drained in tests): a window emits iff
+    its fingerprint's PREVIOUS occurrence by (ts, doc_id, pos) order
+    lies within ttl; every sighting refreshes the chain. ts := doc_id
+    gives a deterministic event order; fingerprint='exact' so DuckDB
+    replays the gram identity and the same lag rule."""
+    from post_ocr_corretion_spark.operators.substring_dedup import (
+        duplicated_windows_ordered,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("doc_id").alias("ts"), "text"
+    )
+    return duplicated_windows_ordered(docs, k=20, ttl=100, fingerprint="exact")
+
+
 def q_shuffle_shards(spark, sf):
     """Deterministic corpus shuffle (operators/shuffle.py): seeded md5
     permutation → (shard, pos_in_shard) for a 16-shard training layout.
@@ -2261,7 +2280,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_nations": q_u1_union_nations,
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
-        "langid": q_langid,
+        # -- slot 35: streaming substring-dedup's batch twin, NEW this
+        # round (langid → r7 queue) --
+        "dup_windows_ordered": q_dup_windows_ordered,
         # -- slots 36-37: product-quantization ANN + the composed IVF-PQ
         # index, NEW this round (p4_despace, p6_strip_punct → r7 queue) --
         "pq_ann_topk": q_pq_ann_topk,
@@ -2293,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
         # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        "langid": q_langid,
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
         "a2_lexicon_words": q_a2_lexicon_words,
@@ -2584,6 +2606,23 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "dup_windows_ordered": """
+            WITH toks AS (
+              SELECT doc_id, doc_id AS ts, string_split(text, ' ') AS t FROM documents
+            ),
+            w AS (
+              SELECT doc_id, ts, p1 - 1 AS pos,
+                     array_to_string(list_slice(t, p1, p1 + 19), ' ') AS gh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 18, 1))) AS s(p1)
+            ),
+            l AS (
+              SELECT doc_id, pos, ts,
+                     lag(ts) OVER (PARTITION BY gh ORDER BY ts, doc_id, pos) AS pts
+              FROM w
+            )
+            SELECT doc_id, pos, ts FROM l
+            WHERE pts IS NOT NULL AND ts - pts <= 100
         """,
         "shuffle_shards": """
             WITH h AS (

@@ -163,3 +163,38 @@ def remove_repeated_spans(
         .withColumn(text_col, F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["w"])))
         .select(*out_cols, "n_removed_tokens")
     )
+
+
+def duplicated_windows_ordered(
+    docs: DataFrame,
+    k: int = 20,
+    ttl: int | None = None,
+    time_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: str = "xxhash64",
+) -> DataFrame:
+    """Keep-first duplicate detection in ARRIVAL ORDER: every length-k
+    window whose fingerprint has an earlier occurrence — ordered by
+    (time_col, id_col, pos) — emits (id_col, pos, time_col); the first
+    occurrence is retained silently. With ``ttl`` set, "earlier" means
+    within ``ttl`` seconds of the PREVIOUS occurrence (a per-entry
+    sliding window: every sighting refreshes the chain, so a gap larger
+    than ttl starts a new first). This is the batch twin of
+    streaming.substring_dedup.streaming_duplicated_windows — the parity
+    tests drain the stream against exactly this definition."""
+    w = token_ngram_windows(docs, k, text_col, id_col, fingerprint).join(
+        docs.select(id_col, time_col), id_col
+    )
+    order = Window.partitionBy("gh").orderBy(time_col, id_col, "pos")
+    prev_ts = F.lag(time_col).over(order)
+    is_dup = (
+        prev_ts.isNotNull()
+        if ttl is None
+        else (prev_ts.isNotNull() & (F.col(time_col) - prev_ts <= ttl))
+    )
+    return (
+        w.withColumn("_dup", is_dup)
+        .filter(F.col("_dup"))
+        .select(id_col, "pos", time_col)
+    )

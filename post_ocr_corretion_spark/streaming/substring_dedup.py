@@ -1,0 +1,143 @@
+"""Streaming exact-substring duplicate detection: the Lee-et-al.
+repeated-k-window rule (operators/substring_dedup.py) applied to a
+document STREAM — every length-k token window whose fingerprint was
+already seen (earlier micro-batch, or earlier within the batch by
+(ts, doc_id, pos) order) emits as a duplicate; first occurrences are
+retained silently. This is the keep-first semantics a continuous
+ingestion pipeline wants: the first copy of a boilerplate block enters
+the corpus, every later copy is flagged while its source doc is still
+in flight.
+
+Shape: window enumeration is the same pure-Catalyst projection as the
+batch operator (split → transform → posexplode — text bytes never
+reach Python); state is keyed by a HASH BUCKET of the fingerprint
+(bounded key cardinality, uniform because the key is a hash), holding
+gram → last-seen-ts per bucket. ``ttl_seconds`` bounds state on
+unbounded streams exactly like streaming/dedup.first_seen_urls: every
+sighting refreshes its entry (per-entry sliding window — a gap larger
+than ttl starts a new "first"), and a whole bucket self-expires via
+EventTimeTimeout once the watermark passes its newest entry's expiry.
+Without ttl the state grows with distinct grams (absolute dedup) —
+callers on unbounded corpora should set ttl.
+
+Batch/stream parity: operators.substring_dedup.duplicated_windows_ordered
+is the exact batch twin (same (ts, id, pos) order, same per-entry
+sliding-ttl rule) — tests/test_streaming_substring_dedup.py drains the
+stream against it.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+N_BUCKETS = 64
+
+OUTPUT_SCHEMA = "doc_id long, pos int, ts long"
+STATE_SCHEMA = "grams array<long>, tss array<long>"
+
+
+def _make_dup_windows_fn(ttl_seconds: int | None):
+    """Per-bucket state function. Chunks are buffered and combined, and
+    rows are processed in (ts, doc_id, pos) order, so the emitted set is
+    a pure function of the micro-batch row multiset (checkpoint replays
+    reproduce it) — the streaming/dedup.py determinism rule."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "doc_id", "pos"], kind="mergesort"
+        )
+        seen: dict[int, int] = (
+            dict(zip(state.get[0], state.get[1])) if state.exists else {}
+        )
+        out = []
+        for row in batch.itertuples(index=False):
+            g, t = int(row.gh), int(row.ts)
+            prev = seen.get(g)
+            is_dup = prev is not None and (ttl_seconds is None or t - prev <= ttl_seconds)
+            if is_dup:
+                out.append((int(row.doc_id), int(row.pos), t))
+            seen[g] = t  # every sighting refreshes the entry (sliding)
+        if ttl_seconds is not None:
+            try:
+                wm = state.getCurrentWatermarkMs() / 1000.0
+            except AttributeError:  # unit-test harness
+                wm = 0.0
+            seen = {g: t for g, t in seen.items() if t + ttl_seconds >= wm}
+        if seen:
+            grams = sorted(seen)
+            state.update((grams, [seen[g] for g in grams]))
+            if ttl_seconds is not None:
+                try:
+                    wm_ms = state.getCurrentWatermarkMs()
+                    set_timeout = state.setTimeoutTimestamp
+                except AttributeError:
+                    pass
+                else:
+                    expiry_ms = (max(seen.values()) + ttl_seconds) * 1000
+                    set_timeout(max(expiry_ms, wm_ms + 1000))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "pos", "ts"])
+
+    return fn
+
+
+def streaming_duplicated_windows(
+    docs: DataFrame,
+    k: int = 20,
+    ttl_seconds: int | None = None,
+    time_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delay_seconds: int = 0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """(doc_id, pos, ts) for every duplicated window of the document
+    stream, keep-first order (ts, doc_id, pos). ``time_col`` must be a
+    timestamp column (the stream's event time); emitted ts is its epoch
+    second."""
+    from ..operators.substring_dedup import token_ngram_windows
+
+    w = token_ngram_windows(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(time_col).alias("_evt"),
+            F.col(text_col).alias("text"),
+        ).withColumn("_row", F.struct("doc_id", "_evt", "text")),
+        k,
+        text_col="text",
+        id_col="_row",
+    ).select(
+        F.col("_row.doc_id").alias("doc_id"),
+        F.unix_timestamp(F.col("_row._evt")).alias("ts"),
+        F.col("_row._evt").alias("_evt"),
+        "pos",
+        "gh",
+    )
+    keyed = (
+        w.withColumn("bucket", F.pmod(F.col("gh"), F.lit(n_buckets)).cast("int"))
+        .withWatermark("_evt", f"{delay_seconds} seconds")
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_dup_windows_fn(ttl_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -44,7 +44,7 @@ R6_WINDOW = [
     "u1_union_nations",
     "json_props",
     "w1_topk_orders",
-    "langid",
+    "dup_windows_ordered",
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "shuffle_shards",

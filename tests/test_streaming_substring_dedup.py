@@ -1,0 +1,152 @@
+"""Streaming duplicated-window detection vs its batch twin
+(operators.substring_dedup.duplicated_windows_ordered), plus the ttl
+sliding-window state rules."""
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from post_ocr_corretion_spark.operators.substring_dedup import duplicated_windows_ordered
+from post_ocr_corretion_spark.streaming.substring_dedup import (
+    _make_dup_windows_fn,
+    streaming_duplicated_windows,
+)
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+RAW = "doc_id long, ts string, text string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, RAW).withColumn("ts", F.to_timestamp("ts"))
+BLOCK = " ".join(f"b{i}" for i in range(8))  # repeated 8-token block
+
+ROWS_B1 = [
+    (1, "2024-01-01 00:00:10", BLOCK + " x1 x2 x3"),
+    (2, "2024-01-01 00:00:20", "y1 y2 " + BLOCK + " y3"),
+    (3, "2024-01-01 00:00:30", "z1 z2 z3 z4 z5 z6 z7 z8 z9"),
+]
+ROWS_B2 = [
+    (4, "2024-01-01 00:01:10", BLOCK + " w1 w2"),
+    (5, "2024-01-01 00:01:20", "z1 z2 z3 z4 z5 z6 z7 z8 q1"),
+]
+
+
+def _write(spark, rows, path):
+    _df(spark, rows).write.mode("append").parquet(path)
+
+
+def test_streaming_matches_batch_twin(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def drain():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        q = (
+            streaming_duplicated_windows(stream, k=5)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write(spark, ROWS_B1, src)
+    drain()
+    _write(spark, ROWS_B2, src)
+    drain()
+
+    got = sorted((r.doc_id, r.pos, r.ts) for r in spark.read.parquet(sink).collect())
+    batch = _df(spark, ROWS_B1 + ROWS_B2).withColumn("ts", F.unix_timestamp("ts"))
+    want = sorted(
+        (r.doc_id, r.pos, r.ts)
+        for r in duplicated_windows_ordered(batch, k=5).collect()
+    )
+    assert got == want and len(got) > 0
+    # the planted block re-occurrences are flagged, the z-prefix overlap too
+    dup_docs = {d for d, _, _ in got}
+    assert dup_docs == {2, 4, 5}
+
+
+def test_ttl_sliding_window_semantics(spark):
+    """Per-entry sliding ttl in the state fn: inside-ttl re-occurrence
+    emits and refreshes; a gap larger than ttl starts a new first."""
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.value, self._wm = False, None, 0
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value, self.exists = v, True
+
+        def remove(self):
+            self.value, self.exists = None, False
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    fn = _make_dup_windows_fn(ttl_seconds=60)
+    st = FakeState()
+
+    def run(rows):
+        return [
+            tuple(r)
+            for pdf in fn((0,), iter([pd.DataFrame(rows, columns=["doc_id", "pos", "ts", "gh"])]), st)
+            for r in pdf.itertuples(index=False)
+        ]
+
+    # first sighting retained, second (within 60s) emits and refreshes
+    assert run([(1, 0, 100, 77)]) == []
+    assert run([(2, 3, 150, 77)]) == [(2, 3, 150)]
+    # 150+60 >= 205: still inside the REFRESHED window → emits again
+    assert run([(3, 1, 205, 77)]) == [(3, 1, 205)]
+    # gap > ttl from the last sighting → new first, no emission
+    assert run([(4, 2, 300, 77)]) == []
+    # within-batch ordering: first by (ts, doc, pos) retained, rest emit
+    st2 = FakeState()
+    out = [
+        tuple(r)
+        for pdf in _make_dup_windows_fn(None)(
+            (0,),
+            iter(
+                [
+                    pd.DataFrame(
+                        [(9, 5, 20, 5), (8, 0, 10, 5), (9, 9, 20, 5)],
+                        columns=["doc_id", "pos", "ts", "gh"],
+                    )
+                ]
+            ),
+            st2,
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    assert out == [(9, 5, 20), (9, 9, 20)]
+
+
+def test_batch_twin_ttl_rule(spark):
+    """duplicated_windows_ordered with ttl: chain refresh semantics via
+    lag — 3 occurrences 40s apart with ttl=60 all chain (2 dups); the
+    4th at +120s starts a new first."""
+    rows = [
+        (1, "2024-01-01 00:00:00", BLOCK),
+        (2, "2024-01-01 00:00:40", BLOCK),
+        (3, "2024-01-01 00:01:20", BLOCK),
+        (4, "2024-01-01 00:03:20", BLOCK),
+    ]
+    docs = _df(spark, rows).withColumn("ts", F.unix_timestamp("ts"))
+    dup_docs = sorted(
+        {r.doc_id for r in duplicated_windows_ordered(docs, k=8, ttl=60).collect()}
+    )
+    assert dup_docs == [2, 3]
