@@ -815,6 +815,50 @@ def q_dup_windows_ordered(spark, sf):
     return duplicated_windows_ordered(docs, k=20, ttl=100, fingerprint="exact")
 
 
+def q_histogram_buckets(spark, sf):
+    """Equi-width histogram via the native width_bucket (16 buckets over
+    [0, 2048) — power-of-two bounds so the bucket arithmetic is exact in
+    floats for integer inputs on both engines; under/overflow land in
+    buckets 0 and 17 per SQL semantics, replicated as a CASE in the
+    oracle)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(
+            F.width_bucket(
+                F.col("n_chars").cast("double"), F.lit(0.0), F.lit(2048.0), F.lit(16)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_url_functions(spark, sf):
+    """URL parsing family (parse_url HOST/PATH/QUERY + keyed query
+    param) over deterministic in-plan URLs built from doc_id — the
+    web-pipeline's domain/path/param extraction; the oracle constructs
+    the identical URLs and replays the parse with regexps."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/path/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q=term"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&page="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    )
+
+
 def q_shuffle_shards(spark, sf):
     """Deterministic corpus shuffle (operators/shuffle.py): seeded md5
     permutation → (shard, pos_in_shard) for a 16-shard training layout.
@@ -2313,7 +2357,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        # -- slot 51+: r4-verified leftovers — first in the r7 queue --
+        # -- slot 51+: the r7 queue. Two r6-new breadth queries head it
+        # (oracle-verified by the local gate replica every test run; they
+        # take driver rows in r7 rather than displacing more r4-verified
+        # recycles from the window), then the r4 leftovers --
+        "histogram_buckets": q_histogram_buckets,
+        "url_functions": q_url_functions,
         "langid": q_langid,
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
@@ -2606,6 +2655,30 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "histogram_buckets": """
+            WITH b AS (
+              SELECT CASE WHEN n_chars < 0 THEN 0
+                          WHEN n_chars >= 2048 THEN 17
+                          ELSE CAST(floor(n_chars / 128.0) AS BIGINT) + 1 END AS bucket
+              FROM documents
+            )
+            SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+        """,
+        "url_functions": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path/'
+                       || CAST(doc_id AS VARCHAR) || '?q=term' || CAST(doc_id % 7 AS VARCHAR)
+                       || '&page=' || CAST(doc_id % 3 AS VARCHAR) AS url
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                   regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+                   regexp_extract(url, '\\?(.*)$', 1) AS query,
+                   regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+            FROM u
         """,
         "dup_windows_ordered": """
             WITH toks AS (
