@@ -91,3 +91,57 @@ def test_zorder_layout_prunes_more_files_than_linear_sort(spark):
     assert z_touch < lin_touch, (z_touch, lin_touch)
     # and the z layout is loss-free: same rows, just clustered
     assert df.repartitionByRange(16, z).count() == 64 * 64
+
+
+def test_zorder_three_columns_prunes_on_every_dimension(spark):
+    """Multi-column demo (ROADMAP r6): 16³ grid, 16 'files'. A 3-d box
+    predicate touches fewer files under the 3-col Morton layout than
+    under a linear (a, b, c) sort, whose files span the full range of
+    the trailing dimensions; and the key matches a reference Python
+    interleave term-for-term."""
+    rows = [(a, b, c) for a in range(16) for b in range(16) for c in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    z = zorder_key([F.col("a"), F.col("b"), F.col("c")], bits=4)
+
+    def morton3(a, b, c, bits=4):
+        m = 0
+        for j in range(bits):
+            m |= ((a >> j) & 1) << (3 * j + 2)
+            m |= ((b >> j) & 1) << (3 * j + 1)
+            m |= ((c >> j) & 1) << (3 * j)
+        return m
+
+    got = {
+        (r.a, r.b, r.c): r.z
+        for r in df.select("a", "b", "c", z.alias("z")).limit(4096).collect()
+    }
+    assert got == {(a, b, c): morton3(a, b, c) for a, b, c in rows}
+
+    def file_stats(layout_df):
+        return (
+            layout_df.withColumn("f", F.spark_partition_id())
+            .groupBy("f")
+            .agg(
+                F.min("a").alias("amin"), F.max("a").alias("amax"),
+                F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+                F.min("c").alias("cmin"), F.max("c").alias("cmax"),
+            )
+            .collect()
+        )
+
+    def touched(stats, box):
+        alo, ahi, blo, bhi, clo, chi = box
+        return sum(
+            1
+            for r in stats
+            if r.amax >= alo and r.amin <= ahi
+            and r.bmax >= blo and r.bmin <= bhi
+            and r.cmax >= clo and r.cmin <= chi
+        )
+
+    z_stats = file_stats(df.repartitionByRange(16, z))
+    lin_stats = file_stats(df.repartitionByRange(16, F.col("a"), F.col("b"), F.col("c")))
+    boxes = [(0, 3, 0, 3, 0, 3), (8, 11, 8, 11, 8, 11), (4, 7, 12, 15, 0, 3)]
+    z_touch = sum(touched(z_stats, bx) for bx in boxes)
+    lin_touch = sum(touched(lin_stats, bx) for bx in boxes)
+    assert z_touch < lin_touch, (z_touch, lin_touch)
