@@ -750,6 +750,48 @@ def q_ivfpq_ann_topk(spark, sf):
     )
 
 
+def q_opq_ann_topk(spark, sf):
+    """OPQ — optimized product quantization (operators/pq.py
+    opq_fit/opq_adc_topk, Ge et al. 2013): an orthonormal rotation
+    learned by Procrustes alternation decorrelates the subspaces before
+    the PQ codebooks fit; search rotates, runs ADC, and exact-re-ranks.
+    Gated on the 16-dim embedding slice (m=4, ksub=8 — the fit is a
+    d×d driver artifact + two cheap PQ fits) via the ivf pattern: rows
+    are the deterministic brute-force top-5 ON THE SLICE (DuckDB
+    list_slice replays them exactly), verdicts are per-qid ``n_opq``
+    and ``recall_ok`` (≥ 9 of 15; measured 12/15 twice — the margin
+    absorbs float-sum-order jitter in the alternation)."""
+    from post_ocr_corretion_spark.operators.pq import opq_adc_topk, opq_fit
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    base = _t(spark, sf, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    embn = base.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    ).filter(norm > 0)
+    qn = embn.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    R, cb = opq_fit(embn, m=4, ksub=8, opq_iters=2, pq_iters=2)
+    ann = (
+        opq_adc_topk(embn, qn, R, cb, k=5, cand=50)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(base, q, k=5)
+    marked = bf.join(ann, ["qid", "vec_id"], "left")
+    counts = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_opq"))
+    total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
+    return marked.join(counts, "qid").select(
+        "qid", "rnk", "vec_id", "cos", "n_opq", (total_hits >= F.lit(9)).alias("recall_ok")
+    )
+
+
 def q_j3_labels(spark, sf):
     from post_ocr_corretion_spark.operators.labels import window_containment_labels
 
@@ -2320,7 +2362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "a11_avg_std": q_a11_avg_std,
         "w6_lag_events": q_w6_lag_events,
-        "fingerprint": q_fingerprint,
+        # -- slot: OPQ rotation, NEW this round (fingerprint → r7 queue) --
+        "opq_ann_topk": q_opq_ann_topk,
         "u1_union_nations": q_u1_union_nations,
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
@@ -2363,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recycles from the window), then the r4 leftovers --
         "histogram_buckets": q_histogram_buckets,
         "url_functions": q_url_functions,
+        "fingerprint": q_fingerprint,
         "langid": q_langid,
         "p4_despace": q_p4_despace,
         "p6_strip_punct": q_p6_strip_punct,
@@ -3208,6 +3252,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag AND m.rn = 1
             GROUP BY li.l_returnflag
+        """,
+        "opq_ann_topk": """
+            WITH e AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 16) AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT qid, vec_id,
+                     round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM q CROSS JOIN e WHERE qid <> vec_id
+            ), rn AS (
+              SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_opq, TRUE AS recall_ok
+            FROM rn WHERE rnk <= 5
         """,
         "ivfpq_ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -313,3 +313,131 @@ def ivfpq_topk(
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# OPQ: optimized product quantization (Ge et al. 2013, non-parametric) —
+# learn an orthonormal rotation R so the PQ codebooks quantize X·R with
+# lower error than X (subspace decorrelation), alternating PQ fit with a
+# Procrustes rotation update.
+# ---------------------------------------------------------------------------
+
+
+def rotate_vectors(
+    emb: DataFrame, R: list[list[float]], vec_col: str = "v", out_col: str | None = None
+) -> DataFrame:
+    """y = x·R as a pure-Catalyst projection (d dot products against the
+    R-column literals per row — no shuffle, no Python)."""
+    d = len(R)
+    cols = [F.array(*[F.lit(R[i][j]) for i in range(d)]) for j in range(d)]
+    y = F.array(*[dot(F.col(vec_col), cols[j]) for j in range(d)])
+    return emb.withColumn(out_col or vec_col, y)
+
+
+def _pq_reconstruction(codebooks: Codebooks, vec_col: str) -> Column:
+    """y_hat: the codeword concatenation the codes of ``vec_col`` select
+    — the PQ decoder, inlined."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    return F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    _cb_lit(codebooks[s]),
+                    _argmin_code(F.col(vec_col), codebooks[s], s, sub_d) + 1,
+                )
+                for s in range(m)
+            ]
+        )
+    )
+
+
+def quantization_error(emb: DataFrame, codebooks: Codebooks, vec_col: str = "v") -> float:
+    """Mean squared reconstruction error of the codebooks over emb —
+    the objective both fits minimize (one aggregate, no collect of
+    vectors)."""
+    yh = _pq_reconstruction(codebooks, vec_col)
+    err = F.aggregate(
+        F.zip_with(F.col(vec_col), yh, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+    return float(emb.select(F.avg(err)).first()[0])
+
+
+def opq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    opq_iters: int = 3,
+    pq_iters: int = 2,
+    vec_col: str = "v",
+) -> tuple[list[list[float]], Codebooks]:
+    """OPQ-NP alternation: (1) fit/encode PQ in the rotated space X·R,
+    (2) Procrustes update R ← U·Vᵀ from svd(Xᵀ·Y_hat). The cross matrix
+    Xᵀ·Y_hat is a d×d aggregation (double posexplode with map-side
+    partial sums — d² values per partition cross the exchange, never
+    rows), and the SVD runs on that d×d driver artifact; vectors never
+    leave the executors. Alternating minimization: each step does not
+    increase the quantization error, so the result is at worst the
+    plain-PQ fit (asserted in tests on the correlated fixture).
+
+    Returns (R, codebooks) where codebooks quantize X·R."""
+    import numpy as np
+
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("opq_fit: empty input")
+    d = len(first[0])
+    R = [[1.0 if i == j else 0.0 for j in range(d)] for i in range(d)]
+    cb: Codebooks = []
+    for _ in range(opq_iters):
+        xr = rotate_vectors(emb, R, vec_col, "_xr")
+        cb = pq_fit(xr, m=m, ksub=ksub, iters=pq_iters, vec_col="_xr")
+        recon = xr.withColumn("_yh", _pq_reconstruction(cb, "_xr"))
+        s1 = recon.select(F.posexplode(F.col(vec_col)).alias("i", "xi"), "_yh")
+        s2 = s1.select("i", "xi", F.posexplode("_yh").alias("j", "yj"))
+        cross = (
+            s2.groupBy("i", "j")
+            .agg(F.sum(F.col("xi") * F.col("yj")).alias("c"))
+            .collect()  # bounded: d × d driver artifact
+        )
+        C = np.zeros((d, d))
+        for r in cross:
+            C[r.i][r.j] = r.c
+        U, _, Vt = np.linalg.svd(C)
+        Rm = U @ Vt
+        R = [[float(Rm[i][j]) for j in range(d)] for i in range(d)]
+    # final codebooks consistent with the final R
+    xr = rotate_vectors(emb, R, vec_col, "_xr")
+    cb = pq_fit(xr, m=m, ksub=ksub, iters=pq_iters, vec_col="_xr")
+    return R, cb
+
+
+def opq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    R: list[list[float]],
+    codebooks: Codebooks,
+    k: int = 5,
+    cand: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """PQ search in the rotated space: rotate corpus and queries by R
+    (orthonormal, so cosine ranking is preserved), then the standard
+    ADC + exact re-rank. The emitted cos is computed on the ORIGINAL
+    vectors (the re-rank joins back to ``emb``), so rows are directly
+    comparable to brute_force_topk."""
+    emb_r = rotate_vectors(emb, R, vec_col).select(id_col, vec_col)
+    q_r = rotate_vectors(queries, R, "qv").select("qid", "qv")
+    rotated_topk = pq_adc_topk(emb_r, q_r, codebooks, k=k, cand=cand, id_col=id_col, vec_col=vec_col)
+    # re-score on the original vectors for exact, raw-space cos values
+    ids = rotated_topk.select("qid", id_col)
+    rescored = (
+        ids.join(queries.select("qid", "qv"), "qid")
+        .join(emb, id_col)
+        .select("qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

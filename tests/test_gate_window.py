@@ -40,7 +40,7 @@ R6_WINDOW = [
     "grouped_quantiles",
     "a11_avg_std",
     "w6_lag_events",
-    "fingerprint",
+    "opq_ann_topk",
     "u1_union_nations",
     "json_props",
     "w1_topk_orders",

@@ -137,3 +137,40 @@ def test_ivfpq_returns_full_topk_and_exact_cos(spark, clustered, ivfpq_index):
     for r in out:
         if (r.qid, r.vec_id) in bf:
             assert r.cos == bf[(r.qid, r.vec_id)]
+
+
+def test_opq_rotation_orthonormal_and_error_non_increasing(spark, clustered):
+    """OPQ (Ge et al. 2013): the learned rotation is orthonormal and the
+    rotated-space quantization error does not exceed plain PQ's on the
+    correlated (clustered) fixture — alternating minimization can only
+    improve on the R=I starting point."""
+    import numpy as np
+
+    from post_ocr_corretion_spark.operators.pq import (
+        opq_fit,
+        quantization_error,
+        rotate_vectors,
+    )
+
+    cb_pq = pq_fit(clustered, m=M, ksub=KSUB, iters=2)
+    err_pq = quantization_error(clustered, cb_pq)
+    R, cb_opq = opq_fit(clustered, m=M, ksub=KSUB, opq_iters=2, pq_iters=2)
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(D), atol=1e-8)
+    err_opq = quantization_error(rotate_vectors(clustered, R, "v", "_xr"), cb_opq, "_xr")
+    assert err_opq <= err_pq + 1e-9, (err_opq, err_pq)
+
+
+def test_opq_recall_on_planted_clusters(spark, clustered):
+    from post_ocr_corretion_spark.operators.pq import opq_adc_topk, opq_fit
+
+    R, cb = opq_fit(clustered, m=M, ksub=KSUB, opq_iters=2, pq_iters=2)
+    q = clustered.filter(F.col("vec_id").isin(0, 20, 40)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = {(r.qid, r.vec_id) for r in brute_force_topk(clustered, q, k=5).collect()}
+    got = {
+        (r.qid, r.vec_id)
+        for r in opq_adc_topk(clustered, q, R, cb, k=5, cand=25).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.8
