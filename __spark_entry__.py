@@ -857,6 +857,21 @@ def q_dup_windows_ordered(spark, sf):
     return duplicated_windows_ordered(docs, k=20, ttl=100, fingerprint="exact")
 
 
+def q_profile_columns(spark, sf):
+    """Single-pass table profiling (operators/profile.py): one melt
+    explode + one aggregate yields rows/nulls/exact-distinct/min/max
+    per column — the data-quality summary a pipeline writes next to
+    every table. Profiled on int/string columns only (their string
+    rendering is engine-identical; doubles/timestamps need explicit
+    formatting first, per the operator docstring)."""
+    from post_ocr_corretion_spark.operators.profile import profile_table
+
+    li = _t(spark, sf, "lineitem")
+    return profile_table(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
+    )
+
+
 def q_histogram_buckets(spark, sf):
     """Equi-width histogram via the native width_bucket (16 buckets over
     [0, 2048) — power-of-two bounds so the bucket arithmetic is exact in
@@ -2406,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recycles from the window), then the r4 leftovers --
         "histogram_buckets": q_histogram_buckets,
         "url_functions": q_url_functions,
+        "profile_columns": q_profile_columns,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "p4_despace": q_p4_despace,
@@ -2699,6 +2715,24 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "profile_columns": """
+            WITH m AS (
+              SELECT 'l_orderkey' AS "column", CAST(l_orderkey AS VARCHAR) AS val FROM lineitem
+              UNION ALL
+              SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', l_returnflag FROM lineitem
+              UNION ALL
+              SELECT 'l_linestatus', l_linestatus FROM lineitem
+            )
+            SELECT "column", count(*) AS n,
+                   CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT val) AS n_distinct,
+                   min(val) AS min_val, max(val) AS max_val
+            FROM m GROUP BY "column"
         """,
         "histogram_buckets": """
             WITH b AS (
