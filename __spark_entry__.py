@@ -857,6 +857,23 @@ def q_dup_windows_ordered(spark, sf):
     return duplicated_windows_ordered(docs, k=20, ttl=100, fingerprint="exact")
 
 
+def q_lm_quality(spark, sf):
+    """CCNet-style bigram-LM quality scoring (operators/lm_quality.py):
+    per-doc mean negative log-likelihood under Laplace-smoothed bigram
+    counts fit on the corpus itself — the classic perplexity filter.
+    Determinism: the only transcendental is a per-row ln of an exact
+    rational, rounded and cast to DECIMAL before the per-doc sum, so
+    aggregation is exact and DuckDB replays it bit-for-bit."""
+    from post_ocr_corretion_spark.operators.lm_quality import (
+        bigram_lm_fit,
+        lm_nll_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bigrams, unigrams, vocab = bigram_lm_fit(docs)
+    return lm_nll_score(docs, bigrams, unigrams, vocab)
+
+
 def q_profile_columns(spark, sf):
     """Single-pass table profiling (operators/profile.py): one melt
     explode + one aggregate yields rows/nulls/exact-distinct/min/max
@@ -2422,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_buckets": q_histogram_buckets,
         "url_functions": q_url_functions,
         "profile_columns": q_profile_columns,
+        "lm_quality": q_lm_quality,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "p4_despace": q_p4_despace,
@@ -2715,6 +2733,32 @@ def oracle_sql() -> dict[str, str]:
                           JOIN part ON lineitem.l_partkey = p_partkey
                           JOIN supplier ON l_suppkey = s_suppkey
             WHERE l_extendedprice = min_price AND p_size < 8
+        """,
+        "lm_quality": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            bg AS (
+              SELECT doc_id, t[p1] AS w1, t[p1 + 1] AS w2
+              FROM toks, LATERAL unnest(range(1, greatest(len(t), 1))) AS s(p1)
+              WHERE len(t) >= 2 AND p1 <= len(t) - 1
+            ),
+            bigrams AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+            unigrams AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+            vocab AS (
+              SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            ),
+            scored AS (
+              SELECT bg.doc_id,
+                     CAST(round(-ln((coalesce(b.c2, 0) + 1.0) / (coalesce(u.c1, 0) + 1.0 * v)), 8)
+                          AS DECIMAL(18,8)) AS nll
+              FROM bg
+                LEFT JOIN bigrams b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+                LEFT JOIN unigrams u ON bg.w1 = u.w1
+                CROSS JOIN vocab
+            )
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+            FROM scored GROUP BY doc_id
         """,
         "profile_columns": """
             WITH m AS (

@@ -1,0 +1,99 @@
+"""Language-model quality scoring — the CCNet-style filter (Wenzek et
+al. 2020): score every document by its negative log-likelihood under a
+word-bigram model with Laplace smoothing, so boilerplate/gibberish
+(high NLL) can be thresholded away before training. The LM here is fit
+ON the corpus itself (the self-scoring form — a held-out counts table
+plugs into the same join).
+
+Scale shape: the fit is two hash aggregates (bigram and unigram
+counts — map-side partials, counts never leave the executors as
+anything but (gram, n) rows); scoring explodes each doc's bigrams once
+and equi-joins the counts (AQE-skew-splittable; hot function words are
+single count rows, so the join output is linear in corpus bigrams).
+
+Determinism contract (the repo's float rule): the only transcendental
+is a PER-ROW ln of an exact rational (counts are integers), rounded to
+8 decimals and cast to DECIMAL(18,8) BEFORE any aggregation — per-doc
+sums are exact decimal arithmetic, so the result is independent of
+partitioning and bit-identical in DuckDB (the tfidf operator already
+validates cross-engine ln on this corpus).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(id_col, F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm_fit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """(bigram_counts(w1, w2, c2), unigram_counts(w1, c1), vocab_size):
+    the model artifact — two aggregates and one distinct count; only
+    per-gram count rows exist, never a driver-side vocabulary."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # condition on w1 occurrences AS A BIGRAM PREFIX (sum of outgoing
+    # bigrams), the standard bigram-LM denominator
+    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).distinct().count()
+    return bigrams, unigrams, int(vocab)
+
+
+def lm_nll_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigrams: DataFrame,
+    vocab_size: int,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_bigrams, avg_nll): mean negative log-likelihood per
+    bigram under Laplace smoothing p(w2|w1) = (c2+alpha)/(c1+alpha·V).
+    Lower = more fluent under the reference counts; rank or threshold
+    on it exactly as CCNet does on perplexity (monotone equivalent).
+    Unseen (w1, w2) pairs fall back to c2=0 (and unseen w1 to c1=0)
+    through the left joins, so a foreign counts table scores any
+    document."""
+    bg = _doc_bigrams(docs, text_col, id_col)
+    joined = (
+        bg.join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, "w1", "left")
+        .withColumn("_c2", F.coalesce("c2", F.lit(0)))
+        .withColumn("_c1", F.coalesce("c1", F.lit(0)))
+    )
+    p = (F.col("_c2") + F.lit(float(alpha))) / (
+        F.col("_c1") + F.lit(float(alpha) * vocab_size)
+    )
+    nll = F.round(-F.log(p), 8).cast("decimal(18,8)")
+    return (
+        joined.select(id_col, nll.alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            # divide in DOUBLES from the exact decimal sum: decimal
+            # division scale/rounding rules differ across engines, IEEE
+            # double division does not
+            F.round(
+                F.sum("_nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )
