@@ -2390,10 +2390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_char_vocab": q_a1_char_vocab,
         "dedup_exact": q_dedup_exact,
         "a3_bucket_hist": q_a3_bucket_hist,
-        "a9_confusion": q_a9_confusion,
-        "grouped_quantiles": q_grouped_quantiles,
-        "a11_avg_std": q_a11_avg_std,
-        "w6_lag_events": q_w6_lag_events,
+        # -- four late-r6 operators rotated in (never-gated outranks the
+        # r4-verified recycles they displace: a9_confusion,
+        # grouped_quantiles, a11_avg_std, w6_lag_events → r7 queue) --
+        "lm_quality": q_lm_quality,
+        "profile_columns": q_profile_columns,
+        "histogram_buckets": q_histogram_buckets,
+        "url_functions": q_url_functions,
         # -- slot: OPQ rotation, NEW this round (fingerprint → r7 queue) --
         "opq_ann_topk": q_opq_ann_topk,
         "u1_union_nations": q_u1_union_nations,
@@ -2436,10 +2439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle-verified by the local gate replica every test run; they
         # take driver rows in r7 rather than displacing more r4-verified
         # recycles from the window), then the r4 leftovers --
-        "histogram_buckets": q_histogram_buckets,
-        "url_functions": q_url_functions,
-        "profile_columns": q_profile_columns,
-        "lm_quality": q_lm_quality,
+        "a9_confusion": q_a9_confusion,
+        "grouped_quantiles": q_grouped_quantiles,
+        "a11_avg_std": q_a11_avg_std,
+        "w6_lag_events": q_w6_lag_events,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "p4_despace": q_p4_despace,

@@ -36,10 +36,10 @@ R6_WINDOW = [
     "a1_char_vocab",
     "dedup_exact",
     "a3_bucket_hist",
-    "a9_confusion",
-    "grouped_quantiles",
-    "a11_avg_std",
-    "w6_lag_events",
+    "lm_quality",
+    "profile_columns",
+    "histogram_buckets",
+    "url_functions",
     "opq_ann_topk",
     "u1_union_nations",
     "json_props",
