@@ -2347,98 +2347,22 @@ def q_unpivot_stats(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
-    # entries of this dict. Round-6 rotation (VERDICT r5 item 1): slots 1-4
-    # are the four r5-new operators that never saw the driver
-    # (stratified_sample_salted, zorder_key, bloom_join_pruned,
-    # dedup_canonical); 5-14 retire the entire r3-stale remainder; 15-18 are
-    # the queries whose code changed this round (lsh_near_dup's verify stage
-    # now scores each distinct candidate once; the flagship trio sits on the
-    # fasthtml CDATA fix); 19-50 recycle the stalest r4-verified entries.
-    # Everything past slot 50 was driver-verified green in r4 or r5 (marked
-    # below; the r4 leftovers head the r7 queue) and stays covered by the
-    # local gate replica (tests/test_entry_queries.py);
+    # entries of this dict. Round-7 rotation (VERDICT r6 item 3): slots 1-40
+    # are the ENTIRE r4-stale remainder (last driver row r4 -- the rotation
+    # discipline's own staleness bound is 2 rounds, so all 40 must take a
+    # driver row this round); 41-42 are the two queries whose code changes
+    # this round (lm_quality's vocab-scan fold, dup_windows_ordered's
+    # hot-gram de-skew); 43-50 start as the stalest r5-verified recycles and
+    # are displaced by r7-new operators as they land (never-gated outranks
+    # recycles). Everything past slot 50 was driver-verified green in r5 or
+    # r6 (marked below; the displaced r6 window heads the r8 queue) and
+    # stays covered by the local gate replica (tests/test_entry_queries.py);
     # tests/test_gate_window.py pins this window so rotations can't silently
     # shift the boundary (ADVICE r4).
     return {
-        # -- slots 1-4: new in r5, first driver look --
-        "stratified_sample_salted": q_stratified_sample_salted,
-        "zorder_key": q_zorder_key,
-        "bloom_join_pruned": q_bloom_join_pruned,
-        "dedup_canonical": q_dedup_canonical,
-        # -- slots 5-14: the r3-stale remainder, retired --
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q22_acctbal": q_tpch_q22_acctbal,
-        "m5_indel_ratio": q_m5_indel_ratio,
-        "p3_mark_spaces": q_p3_mark_spaces,
-        "a4_max_len": q_a4_max_len,
-        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
-        "p2_clean_text": q_p2_clean_text,
-        "w7_split_point": q_w7_split_point,
-        "a14_word_diff": q_a14_word_diff,
-        "a15_dataset_analysis": q_a15_dataset_analysis,
-        # -- slots 15-18: code changed this round --
-        "dedup_pipeline": q_dedup_pipeline,
-        "pii_redact": q_pii_redact,
-        "decontaminate": q_decontaminate,
-        "lsh_near_dup": q_lsh_near_dup,
-        "flagship_correct": q_flagship_correct,
-        "flagship_catalyst": q_flagship_catalyst,
-        "flagship_roulette": q_flagship_roulette,
-        # -- slots 19-50: stalest r4-verified entries --
-        "a5_line_share": q_a5_line_share,
-        "j3_band_join": q_j3_band_join,
-        "a1_char_vocab": q_a1_char_vocab,
-        "dedup_exact": q_dedup_exact,
-        "a3_bucket_hist": q_a3_bucket_hist,
-        # -- four late-r6 operators rotated in (never-gated outranks the
-        # r4-verified recycles they displace: a9_confusion,
-        # grouped_quantiles, a11_avg_std, w6_lag_events → r7 queue) --
-        "lm_quality": q_lm_quality,
-        "profile_columns": q_profile_columns,
-        "histogram_buckets": q_histogram_buckets,
-        "url_functions": q_url_functions,
-        # -- slot: OPQ rotation, NEW this round (fingerprint → r7 queue) --
-        "opq_ann_topk": q_opq_ann_topk,
-        "u1_union_nations": q_u1_union_nations,
-        "json_props": q_json_props,
-        "w1_topk_orders": q_w1_topk_orders,
-        # -- slot 35: streaming substring-dedup's batch twin, NEW this
-        # round (langid → r7 queue) --
-        "dup_windows_ordered": q_dup_windows_ordered,
-        # -- slots 36-37: product-quantization ANN + the composed IVF-PQ
-        # index, NEW this round (p4_despace, p6_strip_punct → r7 queue) --
-        "pq_ann_topk": q_pq_ann_topk,
-        "ivfpq_ann_topk": q_ivfpq_ann_topk,
-        # -- slot 38: deterministic training-shard shuffle, NEW this round
-        # (a2_lexicon_words → r7 queue) --
-        "shuffle_shards": q_shuffle_shards,
-        # -- slots 39-40: exact-substring dedup (Lee et al. 2021), NEW this
-        # round — never-gated, displacing two more r4-verified recycles
-        # (a2_word_frequencies, segmentation_eval → r7 queue; the latter
-        # is rows-only, so its hard gate is the local byte-parity suite
-        # either way) --
-        "repeated_ngram_spans": q_repeated_ngram_spans,
-        "substring_dedup_clean": q_substring_dedup_clean,
-        # -- slots 41-50: the ten TPC-H shapes NEW this round (q6 scan-agg,
-        # q8 market share, q9 profit, q11 scalar-subquery HAVING, q12
-        # conditional counts, q14 promo ratio, q15 argmax view, q17
-        # correlated avg, q20 nested-IN semi chain, q21 exists/not-exists)
-        # — never driver-gated, so they outrank the r4-verified recycles
-        # they displace (which move to the head of the r7 queue below) --
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_product_profit": q_tpch_q9_product_profit,
-        "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
-        "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
-        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        # -- slot 51+: the r7 queue. Two r6-new breadth queries head it
-        # (oracle-verified by the local gate replica every test run; they
-        # take driver rows in r7 rather than displacing more r4-verified
-        # recycles from the window), then the r4 leftovers --
+        # -- slots 1-40: the entire r4-stale remainder (VERDICT r6 item 3:
+        # last driver row r4, 2 rounds stale -- all rotated in so no
+        # registry entry exceeds the 2-round staleness bound at r7 end) --
         "a9_confusion": q_a9_confusion,
         "grouped_quantiles": q_grouped_quantiles,
         "a11_avg_std": q_a11_avg_std,
@@ -2479,7 +2403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_mode": q_median_mode,
         "d5_word_ids": q_d5_word_ids,
         "asof_events": q_asof_events,
-        # -- r5-verified (driver-green last round) --
+        # -- slots 41-42: code changes this round (lm_quality vocab-scan
+        # fold, VERDICT r6 item 5; dup_windows_ordered hot-gram de-skew,
+        # VERDICT r6 item 4) -- re-gated on the new code --
+        "lm_quality": q_lm_quality,
+        "dup_windows_ordered": q_dup_windows_ordered,
+        # -- slots 43-50: r7-new operators land here as they are built;
+        # until then the stalest r5-verified entries hold the slots --
         "pagerank": q_pagerank,
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
@@ -2488,6 +2418,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": q_pack_batches,
         "date_functions": q_date_functions,
         "string_functions": q_string_functions,
+        # -- slot 51+: the r8 queue. The displaced r6 window first (all
+        # driver-green in CORRECTNESS_r06, 1 round stale), then the
+        # r5-verified remainder; every entry stays covered by the local
+        # gate replica (tests/test_entry_queries.py) --
+        "stratified_sample_salted": q_stratified_sample_salted,
+        "zorder_key": q_zorder_key,
+        "bloom_join_pruned": q_bloom_join_pruned,
+        "dedup_canonical": q_dedup_canonical,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q22_acctbal": q_tpch_q22_acctbal,
+        "m5_indel_ratio": q_m5_indel_ratio,
+        "p3_mark_spaces": q_p3_mark_spaces,
+        "a4_max_len": q_a4_max_len,
+        "p13_p14_wrap_decode": q_p13_p14_wrap_decode,
+        "p2_clean_text": q_p2_clean_text,
+        "w7_split_point": q_w7_split_point,
+        "a14_word_diff": q_a14_word_diff,
+        "a15_dataset_analysis": q_a15_dataset_analysis,
+        "dedup_pipeline": q_dedup_pipeline,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
+        "lsh_near_dup": q_lsh_near_dup,
+        "flagship_correct": q_flagship_correct,
+        "flagship_catalyst": q_flagship_catalyst,
+        "flagship_roulette": q_flagship_roulette,
+        "a5_line_share": q_a5_line_share,
+        "j3_band_join": q_j3_band_join,
+        "a1_char_vocab": q_a1_char_vocab,
+        "dedup_exact": q_dedup_exact,
+        "a3_bucket_hist": q_a3_bucket_hist,
+        "profile_columns": q_profile_columns,
+        "histogram_buckets": q_histogram_buckets,
+        "url_functions": q_url_functions,
+        "opq_ann_topk": q_opq_ann_topk,
+        "u1_union_nations": q_u1_union_nations,
+        "json_props": q_json_props,
+        "w1_topk_orders": q_w1_topk_orders,
+        "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "shuffle_shards": q_shuffle_shards,
+        "repeated_ngram_spans": q_repeated_ngram_spans,
+        "substring_dedup_clean": q_substring_dedup_clean,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q12_priority_shipping": q_tpch_q12_priority_shipping,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
+        "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
+        "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+        # -- r5-verified (driver-green in CORRECTNESS_r05) --
         "map_hof": q_map_hof,
         "null_semantics": q_null_semantics,
         "explode_outer": q_explode_outer,

@@ -8,67 +8,68 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# the intended r6 window (dedup_pipeline NEW this round), in order (see queries() rotation comment)
-R6_WINDOW = [
-    "stratified_sample_salted",
-    "zorder_key",
-    "bloom_join_pruned",
-    "dedup_canonical",
-    "tpch_q18_large_orders",
-    "tpch_q22_acctbal",
-    "m5_indel_ratio",
-    "p3_mark_spaces",
-    "a4_max_len",
-    "p13_p14_wrap_decode",
-    "p2_clean_text",
-    "w7_split_point",
-    "a14_word_diff",
-    "a15_dataset_analysis",
-    "dedup_pipeline",
-    "pii_redact",
-    "decontaminate",
-    "lsh_near_dup",
-    "flagship_correct",
-    "flagship_catalyst",
-    "flagship_roulette",
-    "a5_line_share",
-    "j3_band_join",
-    "a1_char_vocab",
-    "dedup_exact",
-    "a3_bucket_hist",
+# the intended r7 window (the full r4-stale remainder + the two
+# code-changed queries + r7-new slots), in order (see queries() rotation comment)
+R7_WINDOW = [
+    "a9_confusion",
+    "grouped_quantiles",
+    "a11_avg_std",
+    "w6_lag_events",
+    "fingerprint",
+    "langid",
+    "p4_despace",
+    "p6_strip_punct",
+    "a2_lexicon_words",
+    "a2_word_frequencies",
+    "segmentation_eval",
+    "j5_customers_without_orders",
+    "j6_customers_with_orders",
+    "j7_region_nation_cross",
+    "a7_a8_group_stats",
+    "a10_prf",
+    "rollup_counts",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "cube_counts",
+    "distinct_counts",
+    "s3_limit_top50",
+    "u3_except_nations",
+    "u2_intersect_nations",
+    "w5_word_positions",
+    "d6_split",
+    "embed_near_dup",
+    "j3_labels",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "token_count",
+    "wer",
+    "multimodal_features",
+    "asof_events_forward",
+    "asof_events_nearest",
+    "asof_events_tolerance",
+    "w_value_functions",
+    "median_mode",
+    "d5_word_ids",
+    "asof_events",
     "lm_quality",
-    "profile_columns",
-    "histogram_buckets",
-    "url_functions",
-    "opq_ann_topk",
-    "u1_union_nations",
-    "json_props",
-    "w1_topk_orders",
     "dup_windows_ordered",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "shuffle_shards",
-    "repeated_ngram_spans",
-    "substring_dedup_clean",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    ]
+    "pagerank",
+    "sliding_window",
+    "array_functions",
+    "udtf_chunks",
+    "stratified_sample",
+    "pack_batches",
+    "date_functions",
+    "string_functions",
+]
 
 
 def test_first_50_is_the_intended_window():
     import __spark_entry__ as em
 
     keys = list(em.queries().keys())
-    assert keys[:50] == R6_WINDOW
-    assert len(R6_WINDOW) == 50
+    assert keys[:50] == R7_WINDOW
+    assert len(R7_WINDOW) == 50
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
