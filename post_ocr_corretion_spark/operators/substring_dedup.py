@@ -173,6 +173,7 @@ def duplicated_windows_ordered(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: str = "xxhash64",
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Keep-first duplicate detection in ARRIVAL ORDER: every length-k
     window whose fingerprint has an earlier occurrence — ordered by
@@ -182,19 +183,70 @@ def duplicated_windows_ordered(
     sliding window: every sighting refreshes the chain, so a gap larger
     than ttl starts a new first). This is the batch twin of
     streaming.substring_dedup.streaming_duplicated_windows — the parity
-    tests drain the stream against exactly this definition."""
-    w = token_ngram_windows(docs, k, text_col, id_col, fingerprint).join(
-        docs.select(id_col, time_col), id_col
+    tests drain the stream against exactly this definition.
+
+    De-skew (the 100 TB story): the lag chain is NOT computed over a
+    ``partitionBy(gh)`` window — a boilerplate gram occurring 10^8
+    times corpus-wide would serialize its whole occurrence list into
+    one task's sort. Instead occurrences are bucketed by
+    ``floor(time / B)`` with ``B = max(ttl, 1)`` (``bucket_width``
+    overrides; must be >= ttl), the chain runs locally per
+    (gh, bucket), and only bucket-FIRST rows consult a per-(gh, bucket)
+    max-time handoff aggregate: because B >= ttl, a predecessor more
+    than one bucket back is always > ttl away, so the previous bucket's
+    last timestamp fully decides the boundary rows (with ttl=None the
+    boundary rule is "any earlier nonempty bucket", a per-gh min-bucket
+    aggregate). The hot-gram cost cap is therefore its occurrences per
+    ttl-width TIME bucket, not per corpus; the aggregates are map-side
+    partial (max/min), and the handoff joins carry one row per
+    (gh, bucket). Result-identical to the single-window formulation
+    (differential-tested in tests/test_streaming_substring_dedup.py)."""
+    if bucket_width is not None and ttl is not None and bucket_width < ttl:
+        raise ValueError(
+            f"bucket_width ({bucket_width}) must be >= ttl ({ttl}): the "
+            "boundary handoff only consults the immediately previous bucket"
+        )
+    width = int(bucket_width) if bucket_width is not None else (
+        max(int(ttl), 1) if ttl is not None else 3600
     )
-    order = Window.partitionBy("gh").orderBy(time_col, id_col, "pos")
-    prev_ts = F.lag(time_col).over(order)
-    is_dup = (
-        prev_ts.isNotNull()
+    w = (
+        token_ngram_windows(docs, k, text_col, id_col, fingerprint)
+        .join(docs.select(id_col, time_col), id_col)
+        .withColumn("_bkt", F.floor(F.col(time_col) / width).cast("long"))
+    )
+    local = Window.partitionBy("gh", "_bkt").orderBy(time_col, id_col, "pos")
+    w = w.withColumn("_pts", F.lag(time_col).over(local))
+    out = [id_col, "pos", time_col]
+    # rows with a same-bucket predecessor: the chain rule is local
+    chained = w.filter(F.col("_pts").isNotNull())
+    local_dups = (
+        chained
         if ttl is None
-        else (prev_ts.isNotNull() & (F.col(time_col) - prev_ts <= ttl))
-    )
-    return (
-        w.withColumn("_dup", is_dup)
-        .filter(F.col("_dup"))
-        .select(id_col, "pos", time_col)
-    )
+        else chained.filter(F.col(time_col) - F.col("_pts") <= ttl)
+    ).select(*out)
+    firsts = w.filter(F.col("_pts").isNull())
+    if ttl is None:
+        # a bucket-first is a duplicate iff ANY earlier bucket holds an
+        # occurrence of its gram (earlier bucket <=> strictly earlier in
+        # the (time, id, pos) order, since time drives both)
+        min_bkt = w.groupBy("gh").agg(F.min("_bkt").alias("_min_bkt"))
+        first_dups = (
+            firsts.join(min_bkt, "gh")
+            .filter(F.col("_bkt") > F.col("_min_bkt"))
+            .select(*out)
+        )
+    else:
+        # a bucket-first's predecessor, if within ttl, is the LAST
+        # occurrence of the previous bucket (B >= ttl makes any older
+        # bucket unreachable); its timestamp is that bucket's max(time)
+        handoff = (
+            w.groupBy("gh", "_bkt")
+            .agg(F.max(time_col).alias("_last_ts"))
+            .select("gh", (F.col("_bkt") + 1).alias("_bkt"), "_last_ts")
+        )
+        first_dups = (
+            firsts.join(handoff, ["gh", "_bkt"])
+            .filter(F.col(time_col) - F.col("_last_ts") <= ttl)
+            .select(*out)
+        )
+    return local_dups.unionByName(first_dups)

@@ -223,3 +223,21 @@ def test_r6_tpch_shapes_broadcast_and_lower_subqueries(spark):
     p21 = formatted_plan(em.queries()["tpch_q21_waiting_suppliers"](spark, SF))
     assert "LeftSemi" in p21 and "LeftAnti" in p21
     assert "CartesianProduct" not in p21
+
+
+def test_ordered_dup_windows_never_partition_by_raw_gram(spark):
+    """De-skew lock (VERDICT r6 item 4): duplicated_windows_ordered's
+    lag chain must never plan a window partitioned by the raw gram
+    fingerprint alone — a hot boilerplate gram would serialize its
+    whole corpus-wide occurrence list into one task's sort. Every
+    window spec that carries gh must also carry the time bucket."""
+    import re
+
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["dup_windows_ordered"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\((.*?)specifiedwindowframe", plan)
+    assert specs, "expected at least one window in the plan"
+    for spec in specs:
+        if "gh#" in spec:
+            assert "_bkt#" in spec, f"window partitioned by raw gram only: ({spec})"

@@ -150,3 +150,62 @@ def test_batch_twin_ttl_rule(spark):
         {r.doc_id for r in duplicated_windows_ordered(docs, k=8, ttl=60).collect()}
     )
     assert dup_docs == [2, 3]
+
+
+def _brute_ordered(rows, k, ttl):
+    """Single-machine reference for the keep-first chain rule: per gram,
+    sort occurrences by (ts, doc_id, pos); an occurrence is a duplicate
+    iff its immediate predecessor exists (ttl=None) or lies within ttl."""
+    occ = {}
+    for doc_id, ts, text in rows:
+        toks = text.split(" ")
+        for pos in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[pos : pos + k]), []).append(
+                (ts, doc_id, pos)
+            )
+    out = set()
+    for lst in occ.values():
+        lst.sort()
+        for prev, cur in zip(lst, lst[1:]):
+            if ttl is None or cur[0] - prev[0] <= ttl:
+                out.add((cur[1], cur[2], cur[0]))
+    return out
+
+
+def test_bucketed_twin_matches_brute_force(spark):
+    """De-skew differential (VERDICT r6 item 4): the (gh, time-bucket)
+    formulation with boundary handoff must be result-identical to the
+    plain per-gram chain on data engineered to straddle bucket
+    boundaries — hot grams, ts ties across docs, gaps of exactly ttl
+    and ttl+1, negative timestamps, and (for ttl=None) a bucket_width
+    small enough that occurrences of one gram span many buckets."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = []
+    for doc_id in range(40):
+        n = rng.randint(6, 14)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((doc_id, rng.randint(-3, 40), text))
+    # engineered boundary cases for ttl=7 (bucket width 7): occurrences
+    # of one planted gram at exact multiples, +/-1, and exactly ttl apart
+    planted = "p q r"
+    for i, ts in enumerate([0, 6, 7, 13, 14, 15, 21, 22, 28, 29, 36]):
+        rows.append((100 + i, ts, planted + f" t{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, ts long, text string")
+    for ttl, bw in [(None, None), (None, 5), (1, None), (7, None), (7, 11), (100, None)]:
+        got = {
+            (r.doc_id, r.pos, r.ts)
+            for r in duplicated_windows_ordered(
+                docs, k=3, ttl=ttl, fingerprint="exact", bucket_width=bw
+            ).collect()
+        }
+        want = _brute_ordered(rows, 3, ttl)
+        assert got == want, f"ttl={ttl} bucket_width={bw}"
+
+
+def test_bucket_width_below_ttl_rejected(spark):
+    docs = spark.createDataFrame([(1, 0, "a b c")], "doc_id long, ts long, text string")
+    with pytest.raises(ValueError, match="bucket_width"):
+        duplicated_windows_ordered(docs, k=2, ttl=10, bucket_width=5)
