@@ -2345,6 +2345,101 @@ def q_unpivot_stats(spark, sf):
     return wide.unpivot("lang", ["max_len", "n_docs", "avg_len"], "metric", "value")
 
 
+def q_mixture_sample(spark, sf):
+    """Deterministic temperature mixture sampling (operators/mixture.py):
+    per-source selection mass n^0.5 (sqrt is IEEE-correctly-rounded, so
+    the weights are bit-identical cross-engine), target 150 rows, every
+    keep decision a pure md5(seed#doc_id) function — the dataset-mixing
+    step of a training-data pipeline. The corpus never shuffles: counts
+    aggregate map-side and ride broadcast joins back."""
+    from post_ocr_corretion_spark.operators.mixture import mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    return mixture_sample(docs, target_rows=150, alpha=0.5, seed="mix7").select(
+        "doc_id", "source", "n_source", "p_keep"
+    )
+
+
+def q_cms_heavy_hitters(spark, sf):
+    """Count-min sketch frequency estimation (operators/sketch.py,
+    4×512 md5-derived grid) probed with the exact top-20 tokens: emits
+    (word, c_exact, c_est, est_ge_exact). The sketch is deterministic
+    (md5 buckets), so DuckDB replays every cell and estimate exactly;
+    est_ge_exact is the CMS's one hard guarantee (never under-counts)
+    asserted in-plan per row."""
+    from post_ocr_corretion_spark.operators.sketch import cms_heavy_hitters
+
+    items = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    cands = (
+        items.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_exact"))
+        .orderBy(F.col("c_exact").desc(), F.col("word").asc())
+        .limit(20)
+    )
+    est = cms_heavy_hitters(items, "word", cands, depth=4, width=512, seed="cms7")
+    return est.select(
+        "word", "c_exact", "c_est", (F.col("c_est") >= F.col("c_exact")).alias("est_ge_exact")
+    )
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher/MassiveText repetition rules (operators/gopher.py): per-doc
+    top-/duplicate-n-gram mass for n in {2,3} plus the pass flag. All
+    ratios are exact-integer numerators over denominators divided once
+    in DOUBLE — DuckDB replays them bit-for-bit."""
+    from post_ocr_corretion_spark.operators.gopher import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf, "documents"))
+
+
+def q_bm25_rank(spark, sf):
+    """BM25 top-20 retrieval (operators/bm25.py) for a fixed query term
+    set. k1=1.5 / b=0.75 are exactly binary-representable so every
+    oracle literal is the identical double; idf and per-term scores
+    round to DECIMAL before the per-doc sum (the repo's float rule)."""
+    from post_ocr_corretion_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), terms=["spark", "join", "window"], k=20
+    )
+
+
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization (operators/url.py) over deterministically
+    messy URLs built from doc_id (mixed-case scheme/host, default and
+    non-default ports, duplicate slashes, trailing slash, tracking
+    params, unsorted query, fragments): the url-level dedup key. Pure
+    projection — zero exchanges (plan-locked); the oracle replays every
+    normalization rule with DuckDB's regexp/list functions."""
+    from post_ocr_corretion_spark.operators.url import canonicalize_urls
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(":443"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Path//"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    return canonicalize_urls(pages).select("doc_id", "url", "canonical_url", "host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
     # entries of this dict. Round-7 rotation (VERDICT r6 item 3): slots 1-40
@@ -2408,9 +2503,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERDICT r6 item 4) -- re-gated on the new code --
         "lm_quality": q_lm_quality,
         "dup_windows_ordered": q_dup_windows_ordered,
-        # -- slots 43-50: r7-new operators land here as they are built;
-        # until then the stalest r5-verified entries hold the slots --
+        # -- slots 43-47: NEW this round (never-gated outranks recycles;
+        # the displaced r5 recycles head the r8 queue below) --
+        "mixture_sample": q_mixture_sample,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "gopher_quality": q_gopher_quality,
+        "bm25_rank": q_bm25_rank,
+        "url_canonicalize": q_url_canonicalize,
+        # -- slots 48-49: re-gated on this round's code change (optional
+        # precomputed-index params + the ivfpq_encode extraction in
+        # operators/pq.py — the gated default paths are plan-identical,
+        # re-gated anyway per the code-changed rule) --
+        "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        # -- slot 50: stalest r5-verified recycle --
         "pagerank": q_pagerank,
+        # -- slot 51+: the r8 queue. The seven r5-verified recycles the
+        # r7-new operators displaced head it, then the displaced r6
+        # window (all driver-green in CORRECTNESS_r06), then the
+        # r5-verified remainder; every entry stays covered by the local
+        # gate replica (tests/test_entry_queries.py) --
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
         "udtf_chunks": q_udtf_chunks,
@@ -2418,10 +2530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": q_pack_batches,
         "date_functions": q_date_functions,
         "string_functions": q_string_functions,
-        # -- slot 51+: the r8 queue. The displaced r6 window first (all
-        # driver-green in CORRECTNESS_r06, 1 round stale), then the
-        # r5-verified remainder; every entry stays covered by the local
-        # gate replica (tests/test_entry_queries.py) --
         "stratified_sample_salted": q_stratified_sample_salted,
         "zorder_key": q_zorder_key,
         "bloom_join_pruned": q_bloom_join_pruned,
@@ -2455,8 +2563,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union_nations": q_u1_union_nations,
         "json_props": q_json_props,
         "w1_topk_orders": q_w1_topk_orders,
-        "pq_ann_topk": q_pq_ann_topk,
-        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "shuffle_shards": q_shuffle_shards,
         "repeated_ngram_spans": q_repeated_ngram_spans,
         "substring_dedup_clean": q_substring_dedup_clean,
@@ -2745,6 +2851,192 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_bigrams,
                    round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
             FROM scored GROUP BY doc_id
+        """,
+        "mixture_sample": """
+            WITH n AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_source
+              FROM documents GROUP BY source
+            ),
+            w AS (
+              SELECT source, n_source,
+                     CAST(round(sqrt(CAST(n_source AS DOUBLE)), 8) AS DECIMAL(18,8)) AS wd
+              FROM n
+            ),
+            t AS (SELECT sum(wd) AS tw FROM w),
+            p AS (
+              SELECT source, n_source,
+                     least(CAST(1.0 AS DOUBLE),
+                           CAST(150.0 AS DOUBLE)
+                             * (CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE))
+                             / CAST(n_source AS DOUBLE)) AS p_keep
+              FROM w, t
+            ),
+            u AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('mix7#' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+                       / 4503599627370496.0 AS u
+              FROM documents
+            )
+            SELECT u.doc_id, u.source, p.n_source, p.p_keep
+            FROM u JOIN p USING (source)
+            WHERE u.u < p.p_keep
+        """,
+        "cms_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ),
+            exact AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS c_exact
+              FROM toks GROUP BY word
+              ORDER BY c_exact DESC, word ASC LIMIT 20
+            ),
+            rows_ AS (SELECT i FROM range(4) r(i)),
+            cells AS (
+              SELECT i,
+                     ('0x' || substr(md5('cms7:' || CAST(i AS VARCHAR) || '#' || word), 1, 16))::UBIGINT % 512 AS b,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks, rows_
+              GROUP BY 1, 2
+            ),
+            probed AS (
+              SELECT e.word, e.c_exact, min(c.cnt) AS c_est
+              FROM exact e
+                CROSS JOIN rows_ r
+                JOIN cells c
+                  ON c.i = r.i
+                 AND c.b = ('0x' || substr(md5('cms7:' || CAST(r.i AS VARCHAR) || '#' || e.word), 1, 16))::UBIGINT % 512
+              GROUP BY e.word, e.c_exact
+            )
+            SELECT word, c_exact, CAST(c_est AS BIGINT) AS c_est,
+                   c_est >= c_exact AS est_ge_exact
+            FROM probed
+        """,
+        "gopher_quality": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words FROM toks),
+            g2 AS (
+              SELECT doc_id, array_to_string(list_slice(t, p, p + 1), ' ') AS g
+              FROM toks, LATERAL unnest(range(1, len(t))) AS s(p)
+              WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            s2 AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top2,
+                     CAST(sum(c) AS BIGINT) AS tot2,
+                     CAST(sum(c - 1) AS BIGINT) AS dup2
+              FROM c2 GROUP BY doc_id
+            ),
+            g3 AS (
+              SELECT doc_id, array_to_string(list_slice(t, p, p + 2), ' ') AS g
+              FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS s(p)
+              WHERE len(t) >= 3
+            ),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            s3 AS (
+              SELECT doc_id, CAST(max(c) AS BIGINT) AS top3,
+                     CAST(sum(c) AS BIGINT) AS tot3,
+                     CAST(sum(c - 1) AS BIGINT) AS dup3
+              FROM c3 GROUP BY doc_id
+            ),
+            f AS (
+              SELECT b.doc_id, b.n_words,
+                     coalesce(CAST(top2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) AS top2_frac,
+                     coalesce(CAST(dup2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) AS dup2_frac,
+                     coalesce(CAST(top3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) AS top3_frac,
+                     coalesce(CAST(dup3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) AS dup3_frac
+              FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            )
+            SELECT doc_id, n_words, top2_frac, dup2_frac, top3_frac, dup3_frac,
+                   (top2_frac <= 0.20 AND dup2_frac <= 0.40
+                    AND top3_frac <= 0.18 AND dup3_frac <= 0.30) AS gopher_pass
+            FROM f
+        """,
+        "bm25_rank": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM d
+            ),
+            hits AS (
+              SELECT doc_id, w FROM base, LATERAL unnest(t) AS u(w)
+              WHERE w IN ('spark', 'join', 'window')
+            ),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY w),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       CAST(CAST(round(
+                         ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8) AS DECIMAL(18,8)) AS DOUBLE)
+                       * ((CAST(tf AS DOUBLE) * CAST(2.5 AS DOUBLE))
+                          / (CAST(tf AS DOUBLE)
+                             + CAST(1.5 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (CAST(dl AS DOUBLE)
+                                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))),
+                       8) AS DECIMAL(18,8)) AS s
+              FROM tf JOIN df USING (w) JOIN d USING (doc_id), stats
+            ),
+            per AS (
+              SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+              FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+            FROM per ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "url_canonicalize": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            raw AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                     || '://'
+                     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
+                     || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+                     || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+                              WHEN doc_id % 5 = 1 THEN ':443'
+                              WHEN doc_id % 5 = 2 THEN ':8080'
+                              ELSE '' END)
+                     || '/Path//' || CAST(doc_id AS VARCHAR)
+                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                     || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+                     || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+                     || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+              FROM d
+            ),
+            parts AS (
+              SELECT doc_id, url,
+                     regexp_replace(url, '#.*$', '', 'g') AS nofrag
+              FROM raw
+            ),
+            norm AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+                     regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS raw_path,
+                     regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+              FROM parts
+            ),
+            canon AS (
+              SELECT doc_id, url, scheme,
+                     CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                          WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                          ELSE hostport END AS host_n,
+                     CASE WHEN regexp_replace(raw_path, '/{2,}', '/', 'g') = '' THEN '/'
+                          ELSE regexp_replace(regexp_replace(raw_path, '/{2,}', '/', 'g'), '(.)/$', '\\1') END AS path_n,
+                     array_to_string(
+                       list_sort(list_filter(string_split(query, '&'),
+                                             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+                       '&') AS qs
+              FROM norm
+            )
+            SELECT doc_id, url,
+                   scheme || '://' || host_n || path_n
+                     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
+                   regexp_extract(host_n, '^([^/:?#]+)', 1) AS host
+            FROM canon
         """,
         "profile_columns": """
             WITH m AS (

@@ -123,6 +123,9 @@ def main() -> None:
     if "--history" in sys.argv:
         run_history()
         return
+    if "--pq-bench" in sys.argv:
+        run_pq_bench()
+        return
 
     spark = get_spark(app_name="bench", cores=CPUS)
     # untimed warm-up at the smoke scale: JVM JIT, parquet reader, Python
@@ -439,6 +442,168 @@ SPARK_GRAFT_SUBMIT_BOTH_SINKS).
 """
         )
     shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_pq_bench() -> None:
+    """PQ-family search efficiency (VERDICT r6 item 6): brute-force
+    cosine vs flat PQ-ADC vs IVF-PQ on IDENTICAL queries over an
+    identical (replicated, deterministically perturbed) corpus, index
+    build excluded from the search walls the way a deployment would
+    store codes once and search many times. Prints one JSON line and
+    rewrites the PQ_BENCH section of PLANS.md.
+
+    Env: SPARK_GRAFT_PQ_REP (corpus replication, default 16),
+    SPARK_GRAFT_PQ_QUERIES (default 20), SPARK_GRAFT_BENCH_REPEATS
+    (default 3), plus the usual SF_DIR / CPUS."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+    from post_ocr_corretion_spark.session import get_spark
+
+    rep = int(os.environ.get("SPARK_GRAFT_PQ_REP", "16"))
+    n_q = int(os.environ.get("SPARK_GRAFT_PQ_QUERIES", "20"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    k, cand, n_lists, nprobe, m, ksub = 10, 50, 16, 4, 16, 16
+    spark = get_spark(app_name="pq-bench", cores=CPUS)
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # replicate ×rep with a deterministic per-element perturbation (so
+    # replicas are near-duplicates, not exact ties), then re-normalize.
+    # The two-param transform lambda is the (element, index) form — the
+    # index feeds the hash on purpose.
+    rep_ids = base.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
+        "vec_id", F.col("vec_id") + F.col("k").cast("long") * F.lit(10_000_000)
+    )
+    noised = rep_ids.withColumn(
+        "v",
+        F.transform(
+            "v",
+            lambda x, i: x
+            + (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(1000)).cast("double") / 1000.0 - 0.5)
+            * 0.02,
+        ),
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    corpus = (
+        noised.filter(norm > 0)
+        .select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
+        .repartition(CPUS)
+        .localCheckpoint()  # materialized once: generation is outside every wall below
+    )
+    n_corpus = corpus.count()
+    queries = (
+        corpus.filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .localCheckpoint()
+    )
+
+    def walls(df_fn) -> tuple[list[float], float, float]:
+        rs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            _run_noop(df_fn())
+            rs.append(round(time.time() - t0, 3))
+        return rs, _median(rs), min(rs)
+
+    t0 = time.time()
+    cb = pq_fit(corpus, m=m, ksub=ksub, iters=3)
+    pq_fit_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    pq_codes = pq_encode(corpus, cb).localCheckpoint()
+    pq_build_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    cents, rcb = ivfpq_fit(corpus, n_lists=n_lists, m=m, ksub=ksub, iters=3)
+    ivf_fit_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivf_index = ivfpq_encode(corpus, cents, rcb).localCheckpoint()
+    ivf_build_s = round(time.time() - t0, 3)
+
+    bf_raw, bf_med, bf_min = walls(lambda: brute_force_topk(corpus, queries, k=k))
+    pq_raw, pq_med, pq_min = walls(
+        lambda: pq_adc_topk(corpus, queries, cb, k=k, cand=cand, codes=pq_codes)
+    )
+    iv_raw, iv_med, iv_min = walls(
+        lambda: ivfpq_topk(
+            corpus, queries, cents, rcb, k=k, nprobe=nprobe, cand=cand, index=ivf_index
+        )
+    )
+    truth = {(r.qid, r.vec_id) for r in brute_force_topk(corpus, queries, k=k).collect()}
+    pq_hit = {(r.qid, r.vec_id) for r in pq_adc_topk(
+        corpus, queries, cb, k=k, cand=cand, codes=pq_codes).collect()}
+    iv_hit = {(r.qid, r.vec_id) for r in ivfpq_topk(
+        corpus, queries, cents, rcb, k=k, nprobe=nprobe, cand=cand, index=ivf_index
+    ).collect()}
+    out = {
+        "metric": "pq_family_search_time",
+        "unit": "sec",
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        "corpus": n_corpus,
+        "queries": n_q,
+        "k": k,
+        "cand": cand,
+        "params": {"m": m, "ksub": ksub, "n_lists": n_lists, "nprobe": nprobe},
+        "brute": {"median": bf_med, "min": bf_min, "raw": bf_raw, "recall": 1.0},
+        "pq": {
+            "median": pq_med, "min": pq_min, "raw": pq_raw,
+            "recall": round(len(pq_hit & truth) / max(len(truth), 1), 4),
+            "fit_s": pq_fit_s, "index_build_s": pq_build_s,
+        },
+        "ivfpq": {
+            "median": iv_med, "min": iv_min, "raw": iv_raw,
+            "recall": round(len(iv_hit & truth) / max(len(truth), 1), 4),
+            "fit_s": ivf_fit_s, "index_build_s": ivf_build_s,
+            "scan_fraction": round(nprobe / n_lists, 3),
+        },
+    }
+    spark.stop()
+    _write_pq_bench_md(out)
+    print(json.dumps(out))
+
+
+def _write_pq_bench_md(out: dict) -> None:
+    import re
+
+    rows = "".join(
+        f"| {name} | {d['median']} | {d['min']} | {d['recall']} | {extra} |\n"
+        for name, d, extra in [
+            ("brute-force cosine", out["brute"], "exact, O(Q×N) d-dim dots"),
+            ("flat PQ-ADC", out["pq"], f"O(Q×N) m={out['params']['m']} lookups; fit {out['pq']['fit_s']}s + encode {out['pq']['index_build_s']}s once"),
+            (
+                "IVF-PQ",
+                out["ivfpq"],
+                f"scans {out['ivfpq']['scan_fraction']} of corpus (nprobe {out['params']['nprobe']}/{out['params']['n_lists']}); fit {out['ivfpq']['fit_s']}s + encode {out['ivfpq']['index_build_s']}s once",
+            ),
+        ]
+    )
+    block = (
+        "<!-- PQ_BENCH_BEGIN -->\n"
+        f"`python bench.py --pq-bench` (sf{out['sf']}, local[{out['cpus']}], corpus\n"
+        f"{out['corpus']} vectors = embeddings ×{out['corpus'] // 2000} deterministic near-dup\n"
+        f"replicas, {out['queries']} identical queries, top-{out['k']}, re-rank cand={out['cand']},\n"
+        f"search walls median-of-{len(out['brute']['raw'])} with the index built & "
+        "localCheckpointed ONCE before timing — a deployment stores codes):\n\n"
+        "| search | median s | min s | recall@10 | cost shape |\n|---|---|---|---|---|\n"
+        + rows
+        + "<!-- PQ_BENCH_END -->"
+    )
+    with open("/root/repo/PLANS.md") as f:
+        old = f.read()
+    if "<!-- PQ_BENCH_BEGIN -->" in old:
+        new = re.sub(r"<!-- PQ_BENCH_BEGIN -->.*?<!-- PQ_BENCH_END -->", block, old, flags=re.S)
+    else:
+        new = old.rstrip() + "\n\n## PQ-family search efficiency — measured\n\n" + block + "\n"
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(new)
 
 
 def run_arrow_sweep() -> None:

@@ -1,0 +1,89 @@
+"""Gopher/MassiveText repetition-quality rules (Rae et al. 2021,
+appendix A1.1): documents dominated by repeated n-grams are boilerplate
+or spam — score every document by its duplicate-n-gram and
+top-n-gram mass and flag the ones a pretraining pipeline would drop.
+Complements textstats.quality_stats (length/ratio heuristics) with the
+repetition family.
+
+Per document and n in {2, 3}:
+- ``top{n}_frac``  — occurrences of the single most frequent word
+  n-gram / total n-gram occurrences (Gopher drops docs with
+  top-2-gram fraction > 0.20, top-3 > 0.18);
+- ``dup{n}_frac`` — occurrences beyond each gram's first, / total
+  (the "fraction of characters in duplicate n-grams" rule, in token
+  units — our corpus is single-line word streams, so token mass is
+  the faithful unit and the line-based rules are degenerate).
+
+Scale shape: one explode per n → a (doc, gram) hash aggregate (map-side
+partials; hot grams are PER-DOCUMENT keys, so no corpus-wide skew) → a
+per-doc aggregate. Nothing leaves the executors but count rows; all
+ratios are exact-integer numerators/denominators divided once in
+DOUBLE (identical IEEE op in DuckDB — the gate replays bit-for-bit).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Gopher A1.1 thresholds for the rules computable on word streams
+TOP2_MAX, TOP3_MAX = 0.20, 0.18
+DUP2_MAX, DUP3_MAX = 0.40, 0.30  # duplicate-mass caps (Gopher's 2-/3-gram row)
+
+
+def _ngram_stats(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id_col, top{n}, tot{n}, dup{n}): max gram count, total gram
+    occurrences, and occurrences beyond first per gram, per document."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    per_gram = (
+        docs.filter(F.size(toks) >= n)
+        .select(id_col, F.explode(grams).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.max("_c").cast("long").alias(f"top{n}"),
+        F.sum("_c").cast("long").alias(f"tot{n}"),
+        F.sum(F.col("_c") - 1).cast("long").alias(f"dup{n}"),
+    )
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, n_words, top2_frac, dup2_frac, top3_frac, dup3_frac,
+    gopher_pass) for every input row. Documents too short to form an
+    n-gram contribute zero mass for that n (frac 0.0 — nothing repeats)
+    and still pass through."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(id_col, F.size(toks).cast("long").alias("n_words"))
+    g2 = _ngram_stats(docs, 2, text_col, id_col)
+    g3 = _ngram_stats(docs, 3, text_col, id_col)
+
+    def frac(num: str, den: str) -> F.Column:
+        return F.coalesce(
+            F.col(num).cast("double") / F.col(den).cast("double"), F.lit(0.0)
+        )
+
+    out = (
+        base.join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            frac("top2", "tot2").alias("top2_frac"),
+            frac("dup2", "tot2").alias("dup2_frac"),
+            frac("top3", "tot3").alias("top3_frac"),
+            frac("dup3", "tot3").alias("dup3_frac"),
+        )
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("top2_frac") <= TOP2_MAX)
+        & (F.col("dup2_frac") <= DUP2_MAX)
+        & (F.col("top3_frac") <= TOP3_MAX)
+        & (F.col("dup3_frac") <= DUP3_MAX),
+    )

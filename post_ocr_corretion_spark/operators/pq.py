@@ -141,15 +141,22 @@ def pq_adc_topk(
     cand: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ search with exact re-rank: ADC over the coded corpus selects
     ``cand`` candidates per query (m table lookups per pair), then only
     those re-score with the exact cosine. Returns (qid, rnk, id, cos)
     for rnk <= k ordered by (cos desc, id) — directly comparable to
-    brute_force_topk rows wherever recall holds."""
+    brute_force_topk rows wherever recall holds.
+
+    ``codes``: a precomputed ``pq_encode(emb, codebooks, ...)`` frame —
+    a real deployment stores the coded corpus once and searches it many
+    times, so benchmarks pass the materialized index here; omitted, the
+    encode runs inline (identical plan tail either way)."""
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
-    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
     def _table(s: int) -> Column:
         # single-param lambda only: a second (defaulted) parameter would
         # flip pyspark's arity check into (element, index) mode. The HOF
@@ -233,6 +240,23 @@ def ivfpq_fit(
     return cents, cb
 
 
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id_col, list_id, codes): the stored IVF-PQ index rows — coarse
+    list assignment plus the m residual codes per vector. Zero-exchange
+    Catalyst projection, same as pq_encode."""
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    coded = _assign_and_residual(emb, centroids, [id_col, vec_col], vec_col)
+    codes = F.array(*[_argmin_code(F.col("r"), codebooks[s], s, sub_d) for s in range(m)])
+    return coded.select(id_col, "list_id", codes.alias("codes"))
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -243,6 +267,7 @@ def ivfpq_topk(
     cand: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ search: probe the nprobe nearest lists per query and score
     ONLY their members by ADC, exploiting q·v = q·c_list + q·r_v — the
@@ -251,14 +276,19 @@ def ivfpq_topk(
     ``cand`` best candidates then re-rank with the exact cosine.
     Scans ~nprobe/n_lists of the corpus; full vectors are read only by
     the re-rank join — candidate scoring touches the m-int codes.
-    Returns (qid, rnk, id, cos) like brute_force_topk."""
+    Returns (qid, rnk, id, cos) like brute_force_topk.
+
+    ``index``: a precomputed ``ivfpq_encode(...)`` frame (the stored
+    index); omitted, the encode runs inline (identical plan tail)."""
     from .similarity import _centroid_scores, cosine
 
     m = len(codebooks)
     sub_d = len(codebooks[0][0])
-    coded = _assign_and_residual(emb, centroids, [id_col, vec_col], vec_col)
-    codes = F.array(*[_argmin_code(F.col("r"), codebooks[s], s, sub_d) for s in range(m)])
-    corpus = coded.select(id_col, "list_id", codes.alias("codes"))
+    corpus = (
+        ivfpq_encode(emb, centroids, codebooks, id_col, vec_col)
+        if index is None
+        else index
+    )
     cents_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
     qscores = _centroid_scores(F.col("qv"), centroids)
     probes = queries.select(

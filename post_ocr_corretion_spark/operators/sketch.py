@@ -1,0 +1,97 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) — sublinear frequency
+estimation for heavy-hitter mining over unbounded key domains (the
+"what are the hot hosts / hot tokens" question at 100 TB, where an
+exact per-key groupBy's state is the full key domain but the sketch is
+a fixed depth×width counter grid).
+
+Distributed shape: building the sketch is ONE hash aggregate over
+(row, bucket) cells — each occurrence contributes depth cells, partial
+counts combine map-side, and the finished sketch is depth×width rows
+regardless of input size (mergeable: sketches of shards sum cell-wise).
+Estimation broadcasts the sketch (d×w rows) and probes it with d
+equi-join lookups per key, taking the min — always >= the true count
+(cells only ever over-count), which the gate asserts row-by-row.
+
+Determinism contract: the d hash functions are md5-derived
+(md5("seed:row#key"), first 16 hex as unsigned 64-bit mod width) — the
+repo's standard replayable idiom, so DuckDB reproduces every cell and
+every estimate bit-for-bit; there is no RNG and no engine-specific
+hash anywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(seed: str, row: F.Column, key: F.Column, width: int) -> F.Column:
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), row.cast("string"), F.lit("#"), key))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 16), 16, 10).cast("decimal(38,0)"), F.lit(width)
+    ).cast("int")
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """(row, bucket, cnt): the depth×width counter grid over every
+    occurrence (not distinct key) in ``items``. One explode to depth
+    rows per occurrence + one map-side-partial aggregate."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    rows = items.select(
+        F.col(key_col).alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
+    )
+    return (
+        rows.select(
+            "_row", _bucket(seed, F.col("_row"), F.col("_k"), width).alias("_bucket")
+        )
+        .groupBy(F.col("_row").alias("row"), F.col("_bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """``keys`` columns + c_est: the CMS point estimate min over the d
+    probed cells. The sketch side broadcasts (d×w rows); keys may be
+    arbitrarily large. A key whose probe hits an untouched cell (absent
+    from the sparse sketch) estimates 0 through the left join."""
+    probes = keys.withColumn(
+        "_row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn("_bucket", _bucket(seed, F.col("_row"), F.col(key_col), width))
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("_row") == F.col("row")) & (F.col("_bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("c_est"))
+    )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    key_col: str,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 512,
+    seed: str = "cms",
+) -> DataFrame:
+    """Estimate every candidate key's frequency from the sketch:
+    candidates' columns + c_est. At scale the candidate set comes from
+    per-shard local top-k (bounded), never a global distinct."""
+    sketch = cms_build(items, key_col, depth, width, seed)
+    return cms_estimate(sketch, candidates, key_col, depth, width, seed)

@@ -53,14 +53,14 @@ R7_WINDOW = [
     "asof_events",
     "lm_quality",
     "dup_windows_ordered",
+    "mixture_sample",
+    "cms_heavy_hitters",
+    "gopher_quality",
+    "bm25_rank",
+    "url_canonicalize",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
     "pagerank",
-    "sliding_window",
-    "array_functions",
-    "udtf_chunks",
-    "stratified_sample",
-    "pack_batches",
-    "date_functions",
-    "string_functions",
 ]
 
 

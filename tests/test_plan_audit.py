@@ -241,3 +241,50 @@ def test_ordered_dup_windows_never_partition_by_raw_gram(spark):
     for spec in specs:
         if "gh#" in spec:
             assert "_bkt#" in spec, f"window partitioned by raw gram only: ({spec})"
+
+
+def test_url_canonicalize_is_pure_projection(spark):
+    """Canonicalization is a zero-exchange Catalyst expression chain —
+    regexps and array HOFs inside whole-stage codegen, no Python."""
+    from post_ocr_corretion_spark.plans.audit import count_exchanges, formatted_plan
+
+    df = em.queries()["url_canonicalize"](spark, SF)
+    assert count_exchanges(df) == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_mixture_sample_never_shuffles_the_corpus(spark):
+    """The weight/total tables ride broadcast joins back onto the
+    corpus; the only exchange feeds the tiny per-source count aggregate
+    (a two-column projection), never the full rows."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan, join_strategies
+
+    df = em.queries()["mixture_sample"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies, "expected joins in the mixture plan"
+    # the single-row total join may plan as BroadcastNestedLoop (it has
+    # no key); everything keyed must broadcast — never a shuffle join
+    assert "SortMergeJoin" not in strategies and "ShuffledHashJoin" not in strategies
+    assert "BroadcastHashJoin" in strategies
+
+
+def test_cms_probe_broadcasts_the_sketch(spark):
+    """Estimation joins candidates against the d×w sketch — the sketch
+    side must broadcast (it is bounded by construction)."""
+    from post_ocr_corretion_spark.plans.audit import join_strategies
+
+    assert "BroadcastHashJoin" in join_strategies(
+        em.queries()["cms_heavy_hitters"](spark, SF)
+    )
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """The per-term df table and the single-row corpus stats broadcast;
+    the token stream is filtered to the query terms BEFORE any shuffle
+    (isin shows up as a pushed/early filter, not post-join)."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan, join_strategies
+
+    df = em.queries()["bm25_rank"](spark, SF)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SortMergeJoin" not in formatted_plan(df)
