@@ -2407,6 +2407,48 @@ def q_bm25_rank(spark, sf):
     )
 
 
+def q_lopq_ann_topk(spark, sf):
+    """LOPQ — locally-optimized product quantization (operators/
+    lopq.py): the IVF-PQ index with a PER-LIST orthonormal rotation and
+    per-list residual codebooks, fit by shared-scan alternation
+    (Procrustes cross matrices and Lloyd stats for ALL lists in one
+    aggregate each; rotations/codebooks ride an n_lists-row broadcast
+    frame, never per-list literals). Gated via the ivf pattern: rows
+    are the deterministic brute-force top-5; verdicts are per-qid
+    ``n_lopq`` (full top-5 required) and ``recall_ok`` (≥ 7 of 15, the
+    probe-coverage band the ivfpq gate documents; the planted-cluster
+    ≥0.8 assertion lives in tests/test_lopq.py)."""
+    from post_ocr_corretion_spark.operators.lopq import lopq_fit, lopq_topk
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf)
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    embn = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
+    ).filter(norm > 0)
+    qn = embn.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cents, Rs, cbs = lopq_fit(
+        embn, n_lists=8, m=16, ksub=16, opq_iters=1, pq_iters=2, coarse_iters=3
+    )
+    ann = (
+        lopq_topk(embn, qn, cents, Rs, cbs, k=5, nprobe=4, cand=30)
+        .select("qid", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    bf = brute_force_topk(emb, q, k=5)
+    marked = bf.join(ann, ["qid", "vec_id"], "left")
+    counts = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lopq"))
+    total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
+    return marked.join(counts, "qid").select(
+        "qid", "rnk", "vec_id", "cos", "n_lopq", (total_hits >= F.lit(7)).alias("recall_ok")
+    )
+
+
 def q_url_canonicalize(spark, sf):
     """URL canonicalization (operators/url.py) over deterministically
     messy URLs built from doc_id (mixed-case scheme/host, default and
@@ -2516,13 +2558,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-gated anyway per the code-changed rule) --
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
-        # -- slot 50: stalest r5-verified recycle --
-        "pagerank": q_pagerank,
-        # -- slot 51+: the r8 queue. The seven r5-verified recycles the
+        # -- slot 50: LOPQ, NEW this round (never-gated outranks the
+        # pagerank recycle it displaces -> r8 queue head) --
+        "lopq_ann_topk": q_lopq_ann_topk,
+        # -- slot 51+: the r8 queue. Pagerank (displaced above) and the
+        # seven r5-verified recycles the
         # r7-new operators displaced head it, then the displaced r6
         # window (all driver-green in CORRECTNESS_r06), then the
         # r5-verified remainder; every entry stays covered by the local
         # gate replica (tests/test_entry_queries.py) --
+        "pagerank": q_pagerank,
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
         "udtf_chunks": q_udtf_chunks,
@@ -3635,6 +3680,20 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_ivfpq, TRUE AS recall_ok
+            FROM rn WHERE rnk <= 5
+        """,
+        "lopq_ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT qid, vec_id,
+                     round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM q CROSS JOIN e WHERE qid <> vec_id
+            ), rn AS (
+              SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_lopq, TRUE AS recall_ok
             FROM rn WHERE rnk <= 5
         """,
         "pq_ann_topk": """

@@ -17,6 +17,14 @@ Determinism contract: the d hash functions are md5-derived
 repo's standard replayable idiom, so DuckDB reproduces every cell and
 every estimate bit-for-bit; there is no RNG and no engine-specific
 hash anywhere.
+
+Relation to the gated `cms_counts` query: that one exercises Spark's
+BUILT-IN `count_min_sketch` aggregate (one opaque JVM sketch blob,
+estimates decoded driver-side) — the right call when a single bounded
+key list needs estimates on the driver. THIS module is the scale form:
+the grid is a DataFrame (shardable, mergeable, persistable), estimates
+compute IN-PLAN against arbitrarily large key sets via a broadcast
+join, and every number replays in an external engine.
 """
 from __future__ import annotations
 

@@ -93,6 +93,88 @@ def _make_dup_windows_fn(ttl_seconds: int | None):
     return fn
 
 
+BLOOM_STATE_SCHEMA = "gen long, cur binary, prev binary"
+
+
+def _bloom_positions(gh: int, m_bits: int, n_hashes: int) -> list[int]:
+    """n probe positions from the 64-bit gram fingerprint via splitmix64
+    finalization per probe — deterministic, no RNG, no md5 per probe."""
+    out = []
+    x = gh & 0xFFFFFFFFFFFFFFFF
+    for i in range(n_hashes):
+        z = (x + (i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        out.append((z ^ (z >> 31)) % m_bits)
+    return out
+
+
+def _make_bloom_dup_windows_fn(ttl_seconds: int, m_bits: int, n_hashes: int):
+    """Bloom-backed per-bucket state (the ROADMAP 'bounded state under
+    adversarial gram diversity' variant): instead of gram → last-ts
+    dicts (state linear in distinct grams), each bucket holds TWO fixed
+    Bloom generations of width ttl — insert into the current
+    generation, a window is flagged when its fingerprint probes present
+    in current ∪ previous. One-sided contract: a true within-ttl
+    duplicate is NEVER missed (its previous sighting, at gap <= ttl,
+    landed in the same or the immediately previous generation — both
+    checked), while Bloom collisions and (ttl, 2·ttl]-gap chains may
+    OVER-flag. State per bucket is exactly 2·m_bits/8 bytes + a
+    generation counter, independent of gram diversity."""
+
+    empty = bytes(m_bits // 8)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "doc_id", "pos"], kind="mergesort"
+        )
+        if state.exists:
+            gen, cur, prev = state.get
+            cur, prev = bytearray(cur), bytearray(prev)
+        else:
+            gen, cur, prev = None, bytearray(empty), bytearray(empty)
+        out = []
+        for row in batch.itertuples(index=False):
+            g, t = int(row.gh), int(row.ts)
+            row_gen = t // ttl_seconds
+            if gen is None:
+                gen = row_gen
+            elif row_gen == gen + 1:
+                prev, cur = cur, bytearray(empty)
+                gen = row_gen
+            elif row_gen > gen + 1:
+                prev, cur = bytearray(empty), bytearray(empty)
+                gen = row_gen
+            pos_bits = _bloom_positions(g, m_bits, n_hashes)
+            hit = all(
+                (cur[p >> 3] | prev[p >> 3]) & (1 << (p & 7)) for p in pos_bits
+            )
+            if hit:
+                out.append((int(row.doc_id), int(row.pos), t))
+            for p in pos_bits:
+                cur[p >> 3] |= 1 << (p & 7)
+        state.update((int(gen), bytes(cur), bytes(prev)))
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+            set_timeout = state.setTimeoutTimestamp
+        except AttributeError:  # unit-test harness
+            pass
+        else:
+            # the newest entry is in generation `gen`; everything the
+            # bucket can still flag expires 2 generations later
+            set_timeout(max((gen + 2) * ttl_seconds * 1000, wm_ms + 1000))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "pos", "ts"])
+
+    return fn
+
+
 def streaming_duplicated_windows(
     docs: DataFrame,
     k: int = 20,
@@ -107,6 +189,67 @@ def streaming_duplicated_windows(
     stream, keep-first order (ts, doc_id, pos). ``time_col`` must be a
     timestamp column (the stream's event time); emitted ts is its epoch
     second."""
+    keyed = _windows_keyed(docs, k, time_col, text_col, id_col, delay_seconds, n_buckets)
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_dup_windows_fn(ttl_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_duplicated_windows_bloom(
+    docs: DataFrame,
+    k: int = 20,
+    ttl_seconds: int = 3600,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 4,
+    time_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delay_seconds: int = 0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """The BOUNDED-state form of streaming_duplicated_windows: per-bucket
+    rotating Bloom generations of width ttl instead of gram→ts dicts,
+    so total state is n_buckets · 2 · m_bits/8 bytes (2 MiB at the
+    defaults) no matter how many distinct grams the stream carries —
+    the defense against adversarial gram diversity. One-sided accuracy
+    contract (tested): output ⊇ the exact operator's output; the
+    over-flagging excess is Bloom FP (≈ (1-e^(-kn/m))^k per probe set)
+    plus chains whose gap falls in (ttl, 2·ttl]. ttl is REQUIRED — the
+    generations are what bound the state."""
+    if ttl_seconds is None or ttl_seconds <= 0:
+        raise ValueError("ttl_seconds must be a positive int (it bounds the state)")
+    if m_bits % 8:
+        raise ValueError(f"m_bits must be a multiple of 8, got {m_bits}")
+    keyed = _windows_keyed(docs, k, time_col, text_col, id_col, delay_seconds, n_buckets)
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        _make_bloom_dup_windows_fn(ttl_seconds, m_bits, n_hashes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _windows_keyed(
+    docs: DataFrame,
+    k: int,
+    time_col: str,
+    text_col: str,
+    id_col: str,
+    delay_seconds: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared projection: k-window enumeration → (doc_id, ts, pos, gh)
+    with the uniform hash bucket and the event-time watermark."""
     from ..operators.substring_dedup import token_ngram_windows
 
     w = token_ngram_windows(
@@ -125,19 +268,7 @@ def streaming_duplicated_windows(
         "pos",
         "gh",
     )
-    keyed = (
+    return (
         w.withColumn("bucket", F.pmod(F.col("gh"), F.lit(n_buckets)).cast("int"))
         .withWatermark("_evt", f"{delay_seconds} seconds")
-    )
-    timeout = (
-        GroupStateTimeout.EventTimeTimeout
-        if ttl_seconds is not None
-        else GroupStateTimeout.NoTimeout
-    )
-    return keyed.groupBy("bucket").applyInPandasWithState(
-        _make_dup_windows_fn(ttl_seconds),
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=timeout,
     )

@@ -60,7 +60,7 @@ R7_WINDOW = [
     "url_canonicalize",
     "pq_ann_topk",
     "ivfpq_ann_topk",
-    "pagerank",
+    "lopq_ann_topk",
 ]
 
 

@@ -209,3 +209,124 @@ def test_bucket_width_below_ttl_rejected(spark):
     docs = spark.createDataFrame([(1, 0, "a b c")], "doc_id long, ts long, text string")
     with pytest.raises(ValueError, match="bucket_width"):
         duplicated_windows_ordered(docs, k=2, ttl=10, bucket_width=5)
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists, self.value, self._wm = False, None, 0
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value, self.exists = v, True
+
+    def remove(self):
+        self.value, self.exists = None, False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_bloom_state_semantics_and_bounded_bytes(spark):
+    """Rotating-generation Bloom state: within-ttl re-occurrence emits;
+    a gap past two generations never does; state is a CONSTANT number
+    of bytes regardless of how many grams pass through."""
+    from post_ocr_corretion_spark.streaming.substring_dedup import (
+        _make_bloom_dup_windows_fn,
+    )
+
+    m_bits = 1 << 12
+    fn = _make_bloom_dup_windows_fn(ttl_seconds=100, m_bits=m_bits, n_hashes=4)
+    st = _FakeState()
+
+    def run(rows):
+        return [
+            tuple(r)
+            for pdf in fn(
+                (0,),
+                iter([pd.DataFrame(rows, columns=["doc_id", "pos", "ts", "gh"])]),
+                st,
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+
+    assert run([(1, 0, 10, 7777)]) == []            # first sighting retained
+    assert run([(2, 0, 60, 7777)]) == [(2, 0, 60)]  # gap 50 <= ttl -> dup
+    size0 = len(st.value[1]) + len(st.value[2])
+    assert run([(3, 0, 500, 7777)]) == []           # gap 440 > 2*ttl -> new first
+    # flood 5k distinct grams: emitted nothing new is irrelevant — the
+    # state byte size must not move
+    run([(9, p, 510, 100000 + p) for p in range(5000)])
+    assert len(st.value[1]) + len(st.value[2]) == size0 == 2 * m_bits // 8
+    # within-batch ordering: first by (ts, doc, pos) retained, rest emit
+    st2 = _FakeState()
+    fn2 = _make_bloom_dup_windows_fn(ttl_seconds=100, m_bits=m_bits, n_hashes=4)
+    out = [
+        tuple(r)
+        for pdf in fn2(
+            (0,),
+            iter(
+                [
+                    pd.DataFrame(
+                        [(9, 5, 20, 5), (8, 0, 10, 5), (9, 9, 20, 5)],
+                        columns=["doc_id", "pos", "ts", "gh"],
+                    )
+                ]
+            ),
+            st2,
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    assert out == [(9, 5, 20), (9, 9, 20)]
+
+
+def test_bloom_stream_superset_of_exact_twin(spark, tmp_path):
+    """One-sided accuracy contract: the Bloom form never misses a true
+    within-ttl duplicate (output ⊇ the exact operator's); on data with
+    no (ttl, 2·ttl] gaps and a roomy filter, the outputs are EQUAL."""
+    from post_ocr_corretion_spark.streaming.substring_dedup import (
+        streaming_duplicated_windows_bloom,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    _write(spark, ROWS_B1, src)
+    _write(spark, ROWS_B2, src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        streaming_duplicated_windows_bloom(stream, k=5, ttl_seconds=600, m_bits=1 << 18)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.doc_id, r.pos, r.ts) for r in spark.read.parquet(sink).collect())
+    batch = _df(spark, ROWS_B1 + ROWS_B2).withColumn("ts", F.unix_timestamp("ts"))
+    exact = sorted(
+        (r.doc_id, r.pos, r.ts)
+        for r in duplicated_windows_ordered(batch, k=5, ttl=600).collect()
+    )
+    assert set(got) >= set(exact) and len(exact) > 0
+    # the fixture's duplicate gaps are all <= ttl and the filter is
+    # roomy (2^18 bits, ~60 grams): no over-flagging either
+    assert got == exact
+
+
+def test_bloom_requires_positive_ttl(spark):
+    from post_ocr_corretion_spark.streaming.substring_dedup import (
+        streaming_duplicated_windows_bloom,
+    )
+
+    docs = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError, match="ttl_seconds"):
+        streaming_duplicated_windows_bloom(docs, k=5, ttl_seconds=None)
+    with pytest.raises(ValueError, match="m_bits"):
+        streaming_duplicated_windows_bloom(docs, k=5, ttl_seconds=60, m_bits=100)
