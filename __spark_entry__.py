@@ -2453,13 +2453,17 @@ def q_url_canonicalize(spark, sf):
     """URL canonicalization (operators/url.py) over deterministically
     messy URLs built from doc_id (mixed-case scheme/host, default and
     non-default ports, duplicate slashes, trailing slash, tracking
-    params, unsorted query, fragments): the url-level dedup key. Pure
-    projection — zero exchanges (plan-locked); the oracle replays every
-    normalization rule with DuckDB's regexp/list functions."""
+    params, unsorted query, fragments), INCLUDING unparseable inputs
+    (mailto:, scheme-less relative paths — every doc_id % 11 == 0 row)
+    which must pass through UNCHANGED rather than collapse onto a
+    shared '://'-garbage dedup key (ADVICE r7): the url-level dedup
+    key. Pure projection — zero exchanges (plan-locked); the oracle
+    replays every normalization rule with DuckDB's regexp/list
+    functions."""
     from post_ocr_corretion_spark.operators.url import canonicalize_urls
 
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 400)
-    url = F.concat(
+    wellformed = F.concat(
         F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
         F.lit("://"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("site")),
@@ -2478,6 +2482,13 @@ def q_url_canonicalize(spark, sf):
         (F.col("doc_id") % 7).cast("string"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
+    malformed = F.when(
+        F.col("doc_id") % 22 == 0,
+        F.concat(F.lit("mailto:User"), F.col("doc_id").cast("string"), F.lit("@Example.COM")),
+    ).otherwise(
+        F.concat(F.lit("relative/Path//"), F.col("doc_id").cast("string"), F.lit("?utm_source=x"))
+    )
+    url = F.when(F.col("doc_id") % 11 == 0, malformed).otherwise(wellformed)
     pages = d.select("doc_id", url.alias("url"))
     return canonicalize_urls(pages).select("doc_id", "url", "canonical_url", "host")
 
@@ -3036,19 +3047,26 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
             raw AS (
               SELECT doc_id,
-                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
-                     || '://'
-                     || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
-                     || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
-                     || (CASE WHEN doc_id % 5 = 0 THEN ':80'
-                              WHEN doc_id % 5 = 1 THEN ':443'
-                              WHEN doc_id % 5 = 2 THEN ':8080'
-                              ELSE '' END)
-                     || '/Path//' || CAST(doc_id AS VARCHAR)
-                     || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
-                     || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
-                     || '&a=' || CAST(doc_id % 7 AS VARCHAR)
-                     || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END) AS url
+                     CASE
+                       WHEN doc_id % 22 = 0 THEN
+                         'mailto:User' || CAST(doc_id AS VARCHAR) || '@Example.COM'
+                       WHEN doc_id % 11 = 0 THEN
+                         'relative/Path//' || CAST(doc_id AS VARCHAR) || '?utm_source=x'
+                       ELSE
+                         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+                         || '://'
+                         || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' ELSE 'site' END)
+                         || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM'
+                         || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+                                  WHEN doc_id % 5 = 1 THEN ':443'
+                                  WHEN doc_id % 5 = 2 THEN ':8080'
+                                  ELSE '' END)
+                         || '/Path//' || CAST(doc_id AS VARCHAR)
+                         || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                         || '?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+                         || '&a=' || CAST(doc_id % 7 AS VARCHAR)
+                         || (CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END)
+                     END AS url
               FROM d
             ),
             parts AS (
@@ -3078,9 +3096,13 @@ def oracle_sql() -> dict[str, str]:
               FROM norm
             )
             SELECT doc_id, url,
-                   scheme || '://' || host_n || path_n
-                     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
-                   regexp_extract(host_n, '^([^/:?#]+)', 1) AS host
+                   CASE WHEN scheme = '' THEN url
+                        ELSE scheme || '://' || host_n || path_n
+                             || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END)
+                   END AS canonical_url,
+                   CASE WHEN scheme = '' THEN ''
+                        ELSE regexp_extract(host_n, '^([^/:?#]+)', 1)
+                   END AS host
             FROM canon
         """,
         "profile_columns": """

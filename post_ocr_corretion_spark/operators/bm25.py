@@ -37,9 +37,14 @@ def bm25_topk(
 ) -> DataFrame:
     """(id_col, score, rnk) — the k highest-BM25 documents for the
     query ``terms`` (ties broken by id). Documents matching no term
-    score 0 and are not returned."""
+    score 0 and are not returned. ``terms`` is treated as a SET:
+    query-term multiplicity is not weighted (['spark','spark'] scores
+    like ['spark'] — deduped explicitly below so the isin filter's
+    implicit collapse is the documented semantics), and terms absent
+    from the corpus contribute nothing."""
     if not terms:
         raise ValueError("terms must be non-empty")
+    terms = sorted(set(terms))
     toks = F.split(F.col(text_col), " ")
     base = docs.select(id_col, F.size(toks).cast("long").alias("_dl"), toks.alias("_t"))
     stats = base.agg(

@@ -25,9 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Gopher A1.1 thresholds for the rules computable on word streams
+# TOP2_MAX/TOP3_MAX are Gopher A1.1's top-2-/top-3-gram caps verbatim.
+# DUP2_MAX/DUP3_MAX are REPO-CHOSEN duplicate-mass caps: Rae et al. A1.1
+# defines duplicate-n-gram thresholds only for n in 5..10 (0.15 down to
+# 0.10) — the paper's 2-/3-gram rows are top-n-gram only, so these dup
+# caps extend the duplicate rule to the n we compute, not paper values.
 TOP2_MAX, TOP3_MAX = 0.20, 0.18
-DUP2_MAX, DUP3_MAX = 0.40, 0.30  # duplicate-mass caps (Gopher's 2-/3-gram row)
+DUP2_MAX, DUP3_MAX = 0.40, 0.30
 
 
 def _ngram_stats(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:

@@ -10,7 +10,10 @@ for https — a NON-default port is kept); fragment dropped; duplicate
 path slashes collapsed; trailing path slash dropped (except the root
 path); tracking params (utm_*, fbclid, gclid) removed; remaining query
 params sorted byte-wise; empty query dropped. The PATH case is
-preserved (paths are case-sensitive per the RFC).
+preserved (paths are case-sensitive per the RFC). Inputs WITHOUT a
+parseable ``scheme://host`` (relative URLs, mailto:, bare hostnames)
+pass through UNCHANGED — they must not collapse onto a shared garbage
+key like '://' + path, or url-level dedup would merge unrelated pages.
 
 Scale shape: one pure-Catalyst projection — regexp extracts/replaces
 plus a split → filter → array_sort → join chain for the query params,
@@ -50,13 +53,15 @@ def canonical_url(url: Column) -> Column:
         )
     )
     qs = F.array_join(params, "&")
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
     )
+    # unparseable (no scheme://host) → pass through, never a shared key
+    return F.when(scheme == "", url).otherwise(canon)
 
 
 def canonicalize_urls(

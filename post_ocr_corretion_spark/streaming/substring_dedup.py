@@ -116,11 +116,19 @@ def _make_bloom_dup_windows_fn(ttl_seconds: int, m_bits: int, n_hashes: int):
     Bloom generations of width ttl — insert into the current
     generation, a window is flagged when its fingerprint probes present
     in current ∪ previous. One-sided contract: a true within-ttl
-    duplicate is NEVER missed (its previous sighting, at gap <= ttl,
-    landed in the same or the immediately previous generation — both
-    checked), while Bloom collisions and (ttl, 2·ttl]-gap chains may
-    OVER-flag. State per bucket is exactly 2·m_bits/8 bytes + a
-    generation counter, independent of gram diversity."""
+    duplicate is NEVER missed — for event-time-monotone rows (the only
+    kind Spark delivers when delay_seconds=0: the watermark drops
+    anything older than the running max, and each micro-batch is sorted
+    here) the previous sighting at gap <= ttl landed in the same or the
+    immediately previous generation, both checked; a LATE row
+    (row_gen < gen, possible only with delay_seconds > 0) cannot be
+    checked against filters that may already have rotated away, so it
+    is flagged CONSERVATIVELY and its probes are inserted into the
+    previous generation so in-order rows within ttl of it still hit.
+    Either way the error is one-sided: Bloom collisions,
+    (ttl, 2·ttl]-gap chains, and late rows may OVER-flag, never miss.
+    State per bucket is exactly 2·m_bits/8 bytes + a generation
+    counter, independent of gram diversity."""
 
     empty = bytes(m_bits // 8)
 
@@ -152,6 +160,20 @@ def _make_bloom_dup_windows_fn(ttl_seconds: int, m_bits: int, n_hashes: int):
                 prev, cur = bytearray(empty), bytearray(empty)
                 gen = row_gen
             pos_bits = _bloom_positions(g, m_bits, n_hashes)
+            if row_gen < gen:
+                # LATE row (delay_seconds > 0 only; the sort above makes
+                # in-batch rows monotone, and with delay_seconds=0 the
+                # watermark drops anything older than the running max).
+                # The filters covering its generation may have rotated
+                # away, so it is un-checkable: flag conservatively
+                # (one-sided contract — over-flag, never miss) and
+                # insert into PREV, the closest surviving generation not
+                # newer than gen, so in-order rows within ttl of this
+                # sighting still probe present.
+                out.append((int(row.doc_id), int(row.pos), t))
+                for p in pos_bits:
+                    prev[p >> 3] |= 1 << (p & 7)
+                continue
             hit = all(
                 (cur[p >> 3] | prev[p >> 3]) & (1 << (p & 7)) for p in pos_bits
             )
@@ -222,9 +244,14 @@ def streaming_duplicated_windows_bloom(
     defaults) no matter how many distinct grams the stream carries —
     the defense against adversarial gram diversity. One-sided accuracy
     contract (tested): output ⊇ the exact operator's output; the
-    over-flagging excess is Bloom FP (≈ (1-e^(-kn/m))^k per probe set)
-    plus chains whose gap falls in (ttl, 2·ttl]. ttl is REQUIRED — the
-    generations are what bound the state."""
+    over-flagging excess is Bloom FP (≈ (1-e^(-kn/m))^k per probe set),
+    chains whose gap falls in (ttl, 2·ttl], and — when delay_seconds>0
+    admits out-of-order rows — LATE rows (event time older than the
+    bucket's newest generation), which are un-checkable against
+    possibly-rotated filters and therefore flagged conservatively. With
+    delay_seconds=0 delivery is event-time-monotone and the late branch
+    never fires. ttl is REQUIRED — the generations are what bound the
+    state."""
     if ttl_seconds is None or ttl_seconds <= 0:
         raise ValueError("ttl_seconds must be a positive int (it bounds the state)")
     if m_bits % 8:

@@ -285,6 +285,50 @@ def test_bloom_state_semantics_and_bounded_bytes(spark):
     assert out == [(9, 5, 20), (9, 9, 20)]
 
 
+def test_bloom_late_rows_flag_conservatively(spark):
+    """Out-of-order delivery (delay_seconds > 0): a LATE row (row_gen <
+    the bucket's generation) cannot be checked against possibly-rotated
+    filters, so the one-sided contract requires flagging it
+    CONSERVATIVELY — the ADVICE r7 scenario where one gram's row jumps
+    gen by >=2 (clearing both filters) and a later micro-batch delivers
+    an out-of-order row whose true within-ttl sighting was rotated
+    away. Late rows are also INSERTED (into prev) so in-order rows
+    within ttl of them still hit."""
+    from post_ocr_corretion_spark.streaming.substring_dedup import (
+        _make_bloom_dup_windows_fn,
+    )
+
+    m_bits = 1 << 12
+    fn = _make_bloom_dup_windows_fn(ttl_seconds=100, m_bits=m_bits, n_hashes=4)
+    st = _FakeState()
+
+    def run(rows):
+        return [
+            tuple(r)
+            for pdf in fn(
+                (0,),
+                iter([pd.DataFrame(rows, columns=["doc_id", "pos", "ts", "gh"])]),
+                st,
+            )
+            for r in pdf.itertuples(index=False)
+        ]
+
+    assert run([(1, 0, 150, 111)]) == []  # gram B first sighting, gen 1
+    # gram A jumps gen 1 -> 4: both filters cleared
+    assert run([(2, 0, 450, 222)]) == []
+    # LATE row for gram B at ts=240 (gen 2 < 4): its true within-ttl
+    # sighting (150, gap 90 <= ttl) was rotated away — the pre-fix code
+    # probed empty filters and MISSED it; now flagged conservatively
+    assert run([(3, 0, 240, 111)]) == [(3, 0, 240)]
+    # a late FIRST sighting (gram C, ts=399, gen 3 = gen-1) is flagged
+    # conservatively too (documented over-flag) AND inserted into prev…
+    assert run([(4, 0, 399, 333)]) == [(4, 0, 399)]
+    # …so an IN-ORDER row within ttl of it (ts=470, gen 4, gap 71) hits
+    assert run([(5, 0, 470, 333)]) == [(5, 0, 470)]
+    # state stays the constant 2 generations of m_bits/8 bytes
+    assert len(st.value[1]) + len(st.value[2]) == 2 * m_bits // 8
+
+
 def test_bloom_stream_superset_of_exact_twin(spark, tmp_path):
     """One-sided accuracy contract: the Bloom form never misses a true
     within-ttl duplicate (output ⊇ the exact operator's); on data with

@@ -25,7 +25,25 @@ CASES = [
     ("http://h.com//", "http://h.com/", "h.com"),
     # path case preserved
     ("https://H.com/CaseSensitive/Path", "https://h.com/CaseSensitive/Path", "h.com"),
+    # UNPARSEABLE inputs (no scheme://host) pass through UNCHANGED —
+    # they must not collapse onto a shared '://'-garbage key (ADVICE r7)
+    ("mailto:User@Example.COM", "mailto:User@Example.COM", ""),
+    ("relative/Path//x?utm_source=s", "relative/Path//x?utm_source=s", ""),
+    ("example.com/bare-host", "example.com/bare-host", ""),
+    ("/rooted/but/schemeless", "/rooted/but/schemeless", ""),
 ]
+
+
+def test_unparseable_urls_stay_distinct(spark):
+    """Distinct malformed inputs keep distinct dedup keys (pre-fix they
+    all collapsed onto '://'-prefixed garbage)."""
+    bad = [(i, u) for i, u in enumerate(
+        ["mailto:a@x", "mailto:b@y", "rel/one", "rel/two", "/three"]
+    )]
+    pages = spark.createDataFrame(bad, "doc_id long, url string")
+    out = canonicalize_urls(pages).collect()
+    assert {r.canonical_url for r in out} == {u for _, u in bad}
+    assert all(r.host == "" for r in out)
 
 
 def test_canonicalization_table(spark):
