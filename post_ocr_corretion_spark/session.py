@@ -78,6 +78,14 @@ def get_spark(
         # UDTFs plan as ArrowEvalPythonUDTF (vectorized), never
         # row-pickled Python (functions/udtfs.py)
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # under full-suite load a freshly forked Python worker can take
+        # longer than the 15 s default to connect back to the JVM's
+        # accept socket (SocketTimeoutException "Timed out while waiting
+        # for the Python worker to connect back" — one streaming test
+        # flaked exactly this way under a 490-test run, VERDICT r7
+        # item 2); 120 s costs nothing when healthy, only delays the
+        # error when a worker is genuinely dead
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
