@@ -857,6 +857,74 @@ def q_dup_windows_ordered(spark, sf):
     return duplicated_windows_ordered(docs, k=20, ttl=100, fingerprint="exact")
 
 
+def q_dup_windows_bloom(spark, sf):
+    """The BOUNDED-state streaming substring dedup (streaming/
+    substring_dedup.streaming_duplicated_windows_bloom) run as a REAL
+    availableNow stream inside the gate: documents are copied to ONE
+    parquet file (one micro-batch — event-time-monotone after the
+    operator's in-batch sort, so the conservative late-row branch never
+    fires and the output is the EXACT generation rule), ts := doc_id
+    seconds, k=20, ttl=100 s, 64 buckets × 2 rotating Bloom generations
+    of 2^20 bits. Ignoring Bloom false positives the monotone semantics
+    are: a window is flagged iff its gram's LATEST earlier occurrence
+    (by (ts, doc_id, pos)) lies in the same or the immediately previous
+    ttl-generation — i.e. lag_ts//ttl >= ts//ttl - 1 — which DuckDB
+    replays per gram STRING with one window lag. The filter is roomy
+    (~windows·4 probes across 64·2^20 bits), so the deterministic
+    splitmix64 probe set has no collisions on this fixture and the
+    hash-equality IS the no-FP + rotation-correctness verdict: any
+    probe regression, rotation bug, or state loss across the stream
+    shows as a row diff."""
+    import os
+    import tempfile
+
+    from post_ocr_corretion_spark.streaming.substring_dedup import (
+        streaming_duplicated_windows_bloom,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.timestamp_seconds(F.col("doc_id")).alias("ts"), "text"
+    )
+    base = tempfile.mkdtemp(prefix="dup_windows_bloom_gate_")
+    src, ckpt, sink = (os.path.join(base, d) for d in ("src", "ckpt", "sink"))
+    # ONE data file -> availableNow delivers ONE micro-batch: monotone
+    # after the stateful op's (ts, doc_id, pos) sort, no watermark drops
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        streaming_duplicated_windows_bloom(
+            spark.readStream.schema(docs.schema).parquet(src),
+            k=20,
+            ttl_seconds=100,
+            m_bits=1 << 20,
+            n_hashes=4,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("dup_windows_bloom gate stream did not finish in 600s")
+    return spark.read.schema("doc_id long, pos int, ts long").parquet(sink)
+
+
+def q_quality_filter(spark, sf):
+    """FineWeb-style composite quality filter (operators/
+    quality_filter.py): Gopher repetition rules + language-ID +
+    stopword/punctuation heuristics + CCNet-style bigram-LM fluency,
+    one verdict column per rule plus the keep conjunction. The oracle
+    is COMPOSED from the same part-oracles the gate already replays
+    (gopher_quality / langid / textstats_quality / lm_quality CTEs), so
+    the composition itself — join semantics, NULL-NLL handling,
+    threshold compares — is what this row newly verifies."""
+    from post_ocr_corretion_spark.operators.quality_filter import quality_filter
+
+    return quality_filter(_t(spark, sf, "documents"))
+
+
 def q_lm_quality(spark, sf):
     """CCNet-style bigram-LM quality scoring (operators/lm_quality.py):
     per-doc mean negative log-likelihood under Laplace-smoothed bigram
@@ -2495,89 +2563,23 @@ def q_url_canonicalize(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's hard oracle gate evaluates the FIRST 50
-    # entries of this dict. Round-7 rotation (VERDICT r6 item 3): slots 1-40
-    # are the ENTIRE r4-stale remainder (last driver row r4 -- the rotation
-    # discipline's own staleness bound is 2 rounds, so all 40 must take a
-    # driver row this round); 41-42 are the two queries whose code changes
-    # this round (lm_quality's vocab-scan fold, dup_windows_ordered's
-    # hot-gram de-skew); 43-50 start as the stalest r5-verified recycles and
-    # are displaced by r7-new operators as they land (never-gated outranks
-    # recycles). Everything past slot 50 was driver-verified green in r5 or
-    # r6 (marked below; the displaced r6 window heads the r8 queue) and
-    # stays covered by the local gate replica (tests/test_entry_queries.py);
+    # entries of this dict. Round-8 rotation (VERDICT r7 item 1): slots 1-47
+    # are the ENTIRE r5-stale remainder (last driver row r5 — the rotation
+    # discipline's 2-round staleness bound is hit exactly at r8, so all 47
+    # must take a driver row this round); slot 48 is url_canonicalize, whose
+    # code AND oracle changed this round (ADVICE r7 unparseable-URL guard);
+    # slots 49-50 are the two r8-new gated operators (dup_windows_bloom —
+    # VERDICT r7 item 4; quality_filter — VERDICT r7 item 8). bm25_rank also
+    # changed this round but only by an explicit term-dedupe whose gated
+    # term set was already unique (result-identical, locally verified by
+    # tests/test_entry_queries.py), so it keeps its r7-green row. Everything
+    # past slot 50 was driver-verified green in r6 or r7 (marked below; the
+    # r6-gated set heads the r9 must-rotate queue) and stays covered by the
+    # local gate replica (tests/test_entry_queries.py);
     # tests/test_gate_window.py pins this window so rotations can't silently
     # shift the boundary (ADVICE r4).
     return {
-        # -- slots 1-40: the entire r4-stale remainder (VERDICT r6 item 3:
-        # last driver row r4, 2 rounds stale -- all rotated in so no
-        # registry entry exceeds the 2-round staleness bound at r7 end) --
-        "a9_confusion": q_a9_confusion,
-        "grouped_quantiles": q_grouped_quantiles,
-        "a11_avg_std": q_a11_avg_std,
-        "w6_lag_events": q_w6_lag_events,
-        "fingerprint": q_fingerprint,
-        "langid": q_langid,
-        "p4_despace": q_p4_despace,
-        "p6_strip_punct": q_p6_strip_punct,
-        "a2_lexicon_words": q_a2_lexicon_words,
-        "a2_word_frequencies": q_a2_word_frequencies,
-        "segmentation_eval": q_segmentation_eval,
-        "j5_customers_without_orders": q_j5_customers_without_orders,
-        "j6_customers_with_orders": q_j6_customers_with_orders,
-        "j7_region_nation_cross": q_j7_region_nation_cross,
-        "a7_a8_group_stats": q_a7_a8_group_stats,
-        "a10_prf": q_a10_prf,
-        "rollup_counts": q_rollup_counts,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q5_local_volume": q_tpch_q5_local_volume,
-        "cube_counts": q_cube_counts,
-        "distinct_counts": q_distinct_counts,
-        "s3_limit_top50": q_s3_limit_top50,
-        "u3_except_nations": q_u3_except_nations,
-        "u2_intersect_nations": q_u2_intersect_nations,
-        "w5_word_positions": q_w5_word_positions,
-        "d6_split": q_d6_split,
-        "embed_near_dup": q_embed_near_dup,
-        "j3_labels": q_j3_labels,
-        "dedup_jaccard": q_dedup_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "token_count": q_token_count,
-        "wer": q_wer,
-        "multimodal_features": q_multimodal_features,
-        "asof_events_forward": q_asof_events_forward,
-        "asof_events_nearest": q_asof_events_nearest,
-        "asof_events_tolerance": q_asof_events_tolerance,
-        "w_value_functions": q_w_value_functions,
-        "median_mode": q_median_mode,
-        "d5_word_ids": q_d5_word_ids,
-        "asof_events": q_asof_events,
-        # -- slots 41-42: code changes this round (lm_quality vocab-scan
-        # fold, VERDICT r6 item 5; dup_windows_ordered hot-gram de-skew,
-        # VERDICT r6 item 4) -- re-gated on the new code --
-        "lm_quality": q_lm_quality,
-        "dup_windows_ordered": q_dup_windows_ordered,
-        # -- slots 43-47: NEW this round (never-gated outranks recycles;
-        # the displaced r5 recycles head the r8 queue below) --
-        "mixture_sample": q_mixture_sample,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "gopher_quality": q_gopher_quality,
-        "bm25_rank": q_bm25_rank,
-        "url_canonicalize": q_url_canonicalize,
-        # -- slots 48-49: re-gated on this round's code change (optional
-        # precomputed-index params + the ivfpq_encode extraction in
-        # operators/pq.py — the gated default paths are plan-identical,
-        # re-gated anyway per the code-changed rule) --
-        "pq_ann_topk": q_pq_ann_topk,
-        "ivfpq_ann_topk": q_ivfpq_ann_topk,
-        # -- slot 50: LOPQ, NEW this round (never-gated outranks the
-        # pagerank recycle it displaces -> r8 queue head) --
-        "lopq_ann_topk": q_lopq_ann_topk,
-        # -- slot 51+: the r8 queue. Pagerank (displaced above) and the
-        # seven r5-verified recycles the
-        # r7-new operators displaced head it, then the displaced r6
-        # window (all driver-green in CORRECTNESS_r06), then the
-        # r5-verified remainder; every entry stays covered by the local
-        # gate replica (tests/test_entry_queries.py) --
+        # -- slots 1-47: the entire r5-stale remainder --
         "pagerank": q_pagerank,
         "sliding_window": q_sliding_window,
         "array_functions": q_array_functions,
@@ -2586,6 +2588,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_batches": q_pack_batches,
         "date_functions": q_date_functions,
         "string_functions": q_string_functions,
+        "map_hof": q_map_hof,
+        "null_semantics": q_null_semantics,
+        "explode_outer": q_explode_outer,
+        "except_all_intersect_all": q_except_all_intersect_all,
+        "bloom_positions": q_bloom_positions,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "cer": q_cer,
+        "seqeval_f1": q_seqeval_f1,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "textstats_quality": q_textstats_quality,
+        "d2_split_to_fit": q_d2_split_to_fit,
+        "skew_salted_counts": q_skew_salted_counts,
+        "sessionize": q_sessionize,
+        "interval_join": q_interval_join,
+        "streaming_window": q_streaming_window,
+        "w_rows_frame": q_w_rows_frame,
+        "hof_array_ops": q_hof_array_ops,
+        "approx_distinct": q_approx_distinct,
+        "approx_quantile": q_approx_quantile,
+        "grouping_sets_counts": q_grouping_sets,
+        "cms_counts": q_cms_counts,
+        "pivot_returnflag": q_pivot_returnflag,
+        "ntile_quartiles": q_ntile_quartiles,
+        "map_props": q_map_props,
+        "unpivot_stats": q_unpivot_stats,
+        "rollup_cascade": q_rollup_cascade,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
+        "j4_revenue_by_nation": q_j4_revenue_by_nation,
+        "a6_cumulative_share": q_a6_cumulative_share,
+        # -- slot 48: code + oracle changed this round (ADVICE r7
+        # unparseable-URL pass-through guard) — re-gated --
+        "url_canonicalize": q_url_canonicalize,
+        # -- slots 49-50: NEW this round --
+        "dup_windows_bloom": q_dup_windows_bloom,
+        "quality_filter": q_quality_filter,
+        # -- slot 51+: r9 must-rotate queue head — the r6-gated set
+        # (driver-green in CORRECTNESS_r06; they hit the 2-round
+        # staleness bound at r9 end, so the ENTIRE block below down to
+        # the r7-gated marker rotates into the r9 window) --
         "stratified_sample_salted": q_stratified_sample_salted,
         "zorder_key": q_zorder_key,
         "bloom_join_pruned": q_bloom_join_pruned,
@@ -2632,46 +2683,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17_small_quantity": q_tpch_q17_small_quantity,
         "tpch_q20_potential_promotion": q_tpch_q20_potential_promotion,
         "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
-        # -- r5-verified (driver-green in CORRECTNESS_r05) --
-        "map_hof": q_map_hof,
-        "null_semantics": q_null_semantics,
-        "explode_outer": q_explode_outer,
-        "except_all_intersect_all": q_except_all_intersect_all,
-        "bloom_positions": q_bloom_positions,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "dedup_clusters": q_dedup_clusters,
-        "cer": q_cer,
-        "seqeval_f1": q_seqeval_f1,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "textstats_quality": q_textstats_quality,
-        "d2_split_to_fit": q_d2_split_to_fit,
-        "skew_salted_counts": q_skew_salted_counts,
-        "sessionize": q_sessionize,
-        "interval_join": q_interval_join,
-        "streaming_window": q_streaming_window,
-        "w_rows_frame": q_w_rows_frame,
-        "hof_array_ops": q_hof_array_ops,
-        "approx_distinct": q_approx_distinct,
-        "approx_quantile": q_approx_quantile,
-        "grouping_sets_counts": q_grouping_sets,
-        "cms_counts": q_cms_counts,
-        "pivot_returnflag": q_pivot_returnflag,
-        "ntile_quartiles": q_ntile_quartiles,
-        "map_props": q_map_props,
-        "unpivot_stats": q_unpivot_stats,
-        "rollup_cascade": q_rollup_cascade,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_q2_min_price_supplier": q_tpch_q2_min_price_supplier,
-        "tpch_q4_order_priority": q_tpch_q4_order_priority,
-        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q13_cust_distribution": q_tpch_q13_cust_distribution,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-        "tpch_q19_disjunctive_revenue": q_tpch_q19_disjunctive_revenue,
-        "j4_revenue_by_nation": q_j4_revenue_by_nation,
-        "a6_cumulative_share": q_a6_cumulative_share,
+        # -- r7-gated (driver-green in CORRECTNESS_r07; these become the
+        # r10 rotation pool) --
+        "a9_confusion": q_a9_confusion,
+        "grouped_quantiles": q_grouped_quantiles,
+        "a11_avg_std": q_a11_avg_std,
+        "w6_lag_events": q_w6_lag_events,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "p4_despace": q_p4_despace,
+        "p6_strip_punct": q_p6_strip_punct,
+        "a2_lexicon_words": q_a2_lexicon_words,
+        "a2_word_frequencies": q_a2_word_frequencies,
+        "segmentation_eval": q_segmentation_eval,
+        "j5_customers_without_orders": q_j5_customers_without_orders,
+        "j6_customers_with_orders": q_j6_customers_with_orders,
+        "j7_region_nation_cross": q_j7_region_nation_cross,
+        "a7_a8_group_stats": q_a7_a8_group_stats,
+        "a10_prf": q_a10_prf,
+        "rollup_counts": q_rollup_counts,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5_local_volume": q_tpch_q5_local_volume,
+        "cube_counts": q_cube_counts,
+        "distinct_counts": q_distinct_counts,
+        "s3_limit_top50": q_s3_limit_top50,
+        "u3_except_nations": q_u3_except_nations,
+        "u2_intersect_nations": q_u2_intersect_nations,
+        "w5_word_positions": q_w5_word_positions,
+        "d6_split": q_d6_split,
+        "embed_near_dup": q_embed_near_dup,
+        "j3_labels": q_j3_labels,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "token_count": q_token_count,
+        "wer": q_wer,
+        "multimodal_features": q_multimodal_features,
+        "asof_events_forward": q_asof_events_forward,
+        "asof_events_nearest": q_asof_events_nearest,
+        "asof_events_tolerance": q_asof_events_tolerance,
+        "w_value_functions": q_w_value_functions,
+        "median_mode": q_median_mode,
+        "d5_word_ids": q_d5_word_ids,
+        "asof_events": q_asof_events,
+        "lm_quality": q_lm_quality,
+        "dup_windows_ordered": q_dup_windows_ordered,
+        "mixture_sample": q_mixture_sample,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "gopher_quality": q_gopher_quality,
+        "bm25_rank": q_bm25_rank,
+        "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "lopq_ann_topk": q_lopq_ann_topk,
     }
 
 def _lsh_banded_sql() -> str:
@@ -2715,7 +2777,7 @@ def _multimodal_expected_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "p3_mark_spaces": """
             SELECT doc_id, replace(text, ' ', '#') AS marked FROM documents
         """,
@@ -4504,4 +4566,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
         """,
+        # the Bloom streaming substring dedup's monotone-stream semantics
+        # (see q_dup_windows_bloom): flagged iff the gram's latest earlier
+        # occurrence is in the same or the immediately previous
+        # ttl-generation — the ordered-dup lag rule with the generation
+        # compare instead of the raw-gap compare
+        "dup_windows_bloom": """
+            WITH toks AS (
+              SELECT doc_id, doc_id AS ts, string_split(text, ' ') AS t FROM documents
+            ),
+            w AS (
+              SELECT doc_id, ts, p1 - 1 AS pos,
+                     array_to_string(list_slice(t, p1, p1 + 19), ' ') AS gh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 18, 1))) AS s(p1)
+            ),
+            l AS (
+              SELECT doc_id, pos, ts,
+                     lag(ts) OVER (PARTITION BY gh ORDER BY ts, doc_id, pos) AS pts
+              FROM w
+            )
+            SELECT doc_id, CAST(pos AS INT) AS pos, ts FROM l
+            WHERE pts IS NOT NULL AND (ts // 100) - (pts // 100) <= 1
+        """,
     }
+    # COMPOSED oracle: quality_filter chains the four already-oracled
+    # components as CTEs, so any drift in a part-oracle propagates here
+    # automatically and only the composition is new surface
+    sql["quality_filter"] = f"""
+        WITH g AS ({sql["gopher_quality"]}),
+        la AS ({sql["langid"]}),
+        tsq AS ({sql["textstats_quality"]}),
+        lm AS ({sql["lm_quality"]})
+        SELECT g.doc_id, g.n_words, g.gopher_pass, la.pred_lang,
+               la.pred_lang = 'en' AS lang_ok,
+               tsq.stopword_ratio,
+               tsq.stopword_ratio >= 0.02 AS stop_ok,
+               tsq.punct_ratio,
+               tsq.punct_ratio <= 0.3 AS punct_ok,
+               lm.avg_nll,
+               (lm.avg_nll IS NOT NULL AND lm.avg_nll <= 3.4) AS nll_ok,
+               (g.n_words >= 20 AND g.n_words <= 100000) AS wc_ok,
+               (g.gopher_pass
+                AND g.n_words >= 20 AND g.n_words <= 100000
+                AND la.pred_lang = 'en'
+                AND tsq.stopword_ratio >= 0.02
+                AND tsq.punct_ratio <= 0.3
+                AND (lm.avg_nll IS NOT NULL AND lm.avg_nll <= 3.4)) AS keep
+        FROM g
+          JOIN la USING (doc_id)
+          JOIN tsq USING (doc_id)
+          LEFT JOIN lm USING (doc_id)
+    """
+    return sql

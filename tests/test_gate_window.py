@@ -8,59 +8,61 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-# the intended r7 window (the full r4-stale remainder + the two
-# code-changed queries + r7-new slots), in order (see queries() rotation comment)
-R7_WINDOW = [
-    "a9_confusion",
-    "grouped_quantiles",
-    "a11_avg_std",
-    "w6_lag_events",
-    "fingerprint",
-    "langid",
-    "p4_despace",
-    "p6_strip_punct",
-    "a2_lexicon_words",
-    "a2_word_frequencies",
-    "segmentation_eval",
-    "j5_customers_without_orders",
-    "j6_customers_with_orders",
-    "j7_region_nation_cross",
-    "a7_a8_group_stats",
-    "a10_prf",
-    "rollup_counts",
-    "tpch_q3_shipping",
-    "tpch_q5_local_volume",
-    "cube_counts",
-    "distinct_counts",
-    "s3_limit_top50",
-    "u3_except_nations",
-    "u2_intersect_nations",
-    "w5_word_positions",
-    "d6_split",
-    "embed_near_dup",
-    "j3_labels",
-    "dedup_jaccard",
-    "dedup_simhash",
-    "token_count",
-    "wer",
-    "multimodal_features",
-    "asof_events_forward",
-    "asof_events_nearest",
-    "asof_events_tolerance",
-    "w_value_functions",
-    "median_mode",
-    "d5_word_ids",
-    "asof_events",
-    "lm_quality",
-    "dup_windows_ordered",
-    "mixture_sample",
-    "cms_heavy_hitters",
-    "gopher_quality",
-    "bm25_rank",
+# the intended r8 window: the ENTIRE r5-stale remainder (47 — the
+# 2-round staleness bound hits exactly at r8), url_canonicalize (code +
+# oracle changed by the ADVICE r7 unparseable-URL guard), and the two
+# r8-new gated operators (see queries() rotation comment)
+R8_WINDOW = [
+    "pagerank",
+    "sliding_window",
+    "array_functions",
+    "udtf_chunks",
+    "stratified_sample",
+    "pack_batches",
+    "date_functions",
+    "string_functions",
+    "map_hof",
+    "null_semantics",
+    "explode_outer",
+    "except_all_intersect_all",
+    "bloom_positions",
+    "ivf_ann_topk",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "dedup_clusters",
+    "cer",
+    "seqeval_f1",
+    "tfidf_top_terms",
+    "textstats_quality",
+    "d2_split_to_fit",
+    "skew_salted_counts",
+    "sessionize",
+    "interval_join",
+    "streaming_window",
+    "w_rows_frame",
+    "hof_array_ops",
+    "approx_distinct",
+    "approx_quantile",
+    "grouping_sets_counts",
+    "cms_counts",
+    "pivot_returnflag",
+    "ntile_quartiles",
+    "map_props",
+    "unpivot_stats",
+    "rollup_cascade",
+    "tpch_q1_pricing",
+    "tpch_q2_min_price_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q13_cust_distribution",
+    "tpch_q16_supplier_cnt",
+    "tpch_q19_disjunctive_revenue",
+    "j4_revenue_by_nation",
+    "a6_cumulative_share",
     "url_canonicalize",
-    "pq_ann_topk",
-    "ivfpq_ann_topk",
-    "lopq_ann_topk",
+    "dup_windows_bloom",
+    "quality_filter",
 ]
 
 
@@ -68,8 +70,8 @@ def test_first_50_is_the_intended_window():
     import __spark_entry__ as em
 
     keys = list(em.queries().keys())
-    assert keys[:50] == R7_WINDOW
-    assert len(R7_WINDOW) == 50
+    assert keys[:50] == R8_WINDOW
+    assert len(R8_WINDOW) == 50
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
