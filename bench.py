@@ -72,6 +72,9 @@ def run_headline(
     import __spark_entry__ as entrymod
 
     repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    max_repeats = max(
+        repeats, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "9"))
+    )
     qs = entrymod.queries()
     med: dict[str, float] = {}
     mins: dict[str, float] = {}
@@ -84,6 +87,15 @@ def run_headline(
         control.append(round(time.time() - t0, 3))
         rs = []
         for _ in range(repeats):
+            t0 = time.time()
+            _run_noop(qs[name](spark, sf_dir))
+            rs.append(round(time.time() - t0, 3))
+        # VERDICT r7 item 3 (the a6 lesson: raws still descending at the
+        # final repeat mean the minimum never converged in-window):
+        # while the LAST wall is the running minimum, keep repeating up
+        # to max_repeats so min/median describe steady state, not a
+        # cold tail
+        while len(rs) < max_repeats and rs[-1] <= min(rs):
             t0 = time.time()
             _run_noop(qs[name](spark, sf_dir))
             rs.append(round(time.time() - t0, 3))
@@ -138,6 +150,10 @@ def main() -> None:
     smoke = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(smoke):
         smoke = SF_DIR
+    # start load-average BEFORE any bench work: the shipped-scaling
+    # discipline's quiet-window evidence, now in the headline artifact
+    # too (VERDICT r7 item 3)
+    load_start = [round(x, 2) for x in os.getloadavg()]
     _run_noop(entrymod.queries()["flagship_correct"](spark, smoke))
     med, mins, raw_times, control = run_headline(spark, SF_DIR)
     total = round(sum(med.values()), 3)
@@ -153,7 +169,13 @@ def main() -> None:
         "total_min": round(sum(mins.values()), 3),
         "sf": _sf_of(SF_DIR),
         "cpus": CPUS,
-        "repeats": len(next(iter(raw_times.values()))),
+        # base repeat count; queries whose walls were still descending
+        # at the base count carry MORE raws (self-describing below)
+        "repeats": int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")),
+        "max_repeats": max(len(r) for r in raw_times.values()),
+        # host quiet-window evidence (1/5/15-min load averages)
+        "load_avg_start": load_start,
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "flagship_docs_per_sec": round(n_docs / flag, 2) if flag else None,
         "flagship_gb_per_sec": round(html_bytes / 1e9 / flag, 4) if flag else None,
         "flagship_docs": n_docs,

@@ -31,6 +31,19 @@ with no recompute), ``--new-snapshot`` to append. Counters (docs_in,
 docs_kept, dup_docs_removed, + *_redacted with --redact-pii) are
 collected via df.observe on the FINAL written table — a by-product of
 the write, not an extra pass.
+
+``--incremental`` turns the job into a CHANGELOG build: the first run
+is the full pipeline plus a persisted LSH band state
+(<out>/lsh_state/sid=N, one (doc_id, band) row per banded doc — kept
+AND dropped, since later docs can collide with a dropped doc's
+bucket); every later run shingles/bands ONLY the docs absent from the
+state, joins them against the prior bands (prior × prior never
+recomputes), and appends the newly-kept docs as a DELTA snapshot —
+readers union snapshots for the full training table. Grow-only
+semantics (shipped docs are never evicted) per
+operators.dedup.dedup_keep_incremental, which also states the
+differential-exactness contract vs the full rebuild. Incremental-mode
+counters add docs_new_in / dropped_as_prior_dup.
 """
 from __future__ import annotations
 
@@ -78,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("--shuffle-seed", default="0")
     parser.add_argument("--new-snapshot", action="store_true")
+    parser.add_argument(
+        "--incremental",
+        action="store_true",
+        help="changelog mode: persist the LSH band state under "
+        "<out>/lsh_state/sid=N per snapshot; on re-run, only docs whose "
+        "ids are not in the state are shingled/banded (the delta), "
+        "joined against the prior band state, and appended as a DELTA "
+        "snapshot of newly-kept docs (grow-only: shipped docs are never "
+        "evicted — see operators.dedup.dedup_keep_incremental)",
+    )
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
     if args.n_hashes != args.bands * args.rows_per_band:
@@ -150,7 +173,74 @@ def main(argv: list[str] | None = None) -> int:
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
     writer = SnapshotWriter(args.out)
-    if args.new_snapshot and writer.latest() is not None:
+    if args.incremental:
+        import os
+
+        from post_ocr_corretion_spark.operators.dedup import (
+            dedup_keep_incremental,
+            lsh_band_keys,
+        )
+
+        state_dir = os.path.join(args.out, "lsh_state")
+        band_kw = dict(
+            n_hashes=args.n_hashes,
+            bands=args.bands,
+            rows_per_band=args.rows_per_band,
+            shingle_k=args.shingle_k,
+        )
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        if args.max_doc is not None:
+            docs = docs.filter(F.col("doc_id") < args.max_doc)
+        has_state = os.path.isdir(state_dir) and any(
+            d.startswith("sid=") for d in os.listdir(state_dir)
+        )
+        if not has_state:
+            # first batch: the normal full pipeline + snapshot, then seed
+            # the band state for EVERY input doc (kept and dropped alike —
+            # a later doc may collide with a dropped one's bucket)
+            _, resumed = writer.resume_or_run(
+                spark, job, key_col="doc_id", counters_fn=counters_fn
+            )
+            sid = writer.latest()
+            new_bands = lsh_band_keys(docs, **band_kw)
+        else:
+            prior = spark.read.parquet(os.path.join(state_dir, "sid=*"))
+            new_docs = docs.join(
+                prior.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            n_new = new_docs.count()  # one delta-sized scan, for the drop counter
+            kept, new_bands = dedup_keep_incremental(
+                new_docs, prior.filter(F.col("band").isNotNull()), **band_kw
+            )
+            inc_obs = Observation("inc_counters")
+            kept = kept.observe(
+                inc_obs,
+                F.count(F.lit(1)).alias("docs_kept"),
+                F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("docs_in"),
+                F.coalesce(F.sum(F.col("cluster_size") - 1), F.lit(0)).alias(
+                    "dup_docs_removed"
+                ),
+            )
+
+            def inc_counters():
+                c = {k: int(v) for k, v in inc_obs.get.items()}
+                c["docs_new_in"] = n_new
+                c["dropped_as_prior_dup"] = n_new - c["docs_in"]
+                return c
+
+            sid = writer.write(kept, key_col="doc_id", counters_fn=inc_counters)
+            resumed = False
+        # append-only state: each increment adds ONLY its own docs' band
+        # rows, committed by atomic directory rename right after the
+        # snapshot commit (a crash between the two re-examines this
+        # batch's docs on the next run — over-work, never data loss)
+        sdir = os.path.join(state_dir, f"sid={sid}")
+        if not os.path.isdir(sdir):
+            os.makedirs(state_dir, exist_ok=True)
+            tmp = sdir + ".tmp"
+            new_bands.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, sdir)
+    elif args.new_snapshot and writer.latest() is not None:
         sid = writer.write(job(), key_col="doc_id", counters_fn=counters_fn)
         resumed = False
     else:
