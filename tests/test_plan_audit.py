@@ -84,6 +84,12 @@ def test_no_row_wise_python_in_any_registry_query(spark):
     skip = {
         "flagship_correct", "flagship_catalyst", "flagship_roulette",
         "streaming_window",
+        # building this entry RUNS its availableNow stream (the gate
+        # executes the real stateful query, then returns the sink
+        # read-back, whose plan is a bare parquet scan); the stream's
+        # Python stage is the sanctioned applyInPandasWithState, locked
+        # in tests/test_streaming_substring_dedup.py
+        "dup_windows_bloom",
     }
     offenders = []
     for name, fn in em.queries().items():
@@ -288,3 +294,45 @@ def test_bm25_broadcasts_stats_and_df(spark):
     df = em.queries()["bm25_rank"](spark, SF)
     assert "BroadcastHashJoin" in join_strategies(df)
     assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_quality_filter_is_pure_catalyst_and_keyed_joins(spark):
+    """The composite quality filter plans NO Python stage of any kind
+    (every rule is Catalyst expressions over the component aggregates)
+    and composes via KEYED joins only — never a cartesian product."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["quality_filter"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_prunes_state_and_semi_joins(spark, tmp_path):
+    """dedup_keep_incremental reads the persisted band state through a
+    column-pruned scan (a fat payload column in the state file must NOT
+    reach the plan) and attaches new docs to prior buckets via a SEMI
+    join — the prior corpus text is never rescanned (the state is the
+    only prior-side input by construction: the operator takes no prior
+    docs frame)."""
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.dedup import dedup_keep_incremental
+    from post_ocr_corretion_spark.plans.audit import (
+        assert_columns_pruned,
+        formatted_plan,
+    )
+
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "bandkey-1", "x" * 64)], "doc_id long, band string, fat string"
+    ).write.parquet(state)
+    prior = spark.read.parquet(state).select("doc_id", "band")
+    new = spark.createDataFrame(
+        [(10, "alpha bravo charlie delta echo")], "doc_id long, text string"
+    )
+    kept, _ = dedup_keep_incremental(new, prior)
+    plan = formatted_plan(kept)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    assert_columns_pruned(kept, ["fat"])
