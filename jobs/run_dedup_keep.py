@@ -232,8 +232,16 @@ def main(argv: list[str] | None = None) -> int:
             resumed = False
         # append-only state: each increment adds ONLY its own docs' band
         # rows, committed by atomic directory rename right after the
-        # snapshot commit (a crash between the two re-examines this
-        # batch's docs on the next run — over-work, never data loss)
+        # snapshot commit. Crash window honesty: for the FIRST batch a
+        # crash between the two is fully healed (resume_or_run reuses
+        # the committed snapshot, the state is recomputed from the same
+        # input); for later increments a crash between snapshot commit
+        # and state rename makes the next run re-examine this batch —
+        # its kept docs would be re-kept into a second delta (duplicate
+        # rows across snapshots, surfaced by SnapshotWriter.diff), and a
+        # new-new family can admit a second member on the retry.
+        # Exactly-once across BOTH artifacts needs a transactional
+        # catalog spanning them (the Iceberg scope note in COVERAGE.md).
         sdir = os.path.join(state_dir, f"sid={sid}")
         if not os.path.isdir(sdir):
             os.makedirs(state_dir, exist_ok=True)
