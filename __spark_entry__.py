@@ -667,6 +667,53 @@ def q_ivf_ann_topk(spark, sf):
     )
 
 
+def q_ivf_pruned_topk(spark, sf):
+    """IVF-PARTITIONED raw-vector store search (operators/ivf_store.py
+    — the ROADMAP r8 residual-re-rank item): the corpus is written
+    hive-partitioned by IVF list id inside the gate, then each query
+    reads ONLY its nprobe probed partitions via a literal list_id
+    IN-filter (file-level PartitionFilters pruning — the 100 TB lever:
+    the exact re-rank stage touches nprobe/n_lists of the table's
+    FILES, not just its rows). Gated via the ivf verdict-flag pattern:
+    rows are the deterministic brute-force top-5; ``n_pruned`` requires
+    a full top-5 per query, ``recall_ok`` the same ≥ 6/15 band the
+    plain-IVF gate documents (identical probe semantics), and
+    ``pruning_ok`` asserts the executed scan plan actually carries
+    list_id in its PartitionFilters — a store or filter regression that
+    silently reads every partition goes red here."""
+    from post_ocr_corretion_spark.operators.ivf_store import (
+        ivf_pruned_topk,
+        pruned_scan_partition_filter,
+        write_ivf_partitioned,
+    )
+    from post_ocr_corretion_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_centroids_distributed,
+    )
+
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    cents = kmeans_centroids_distributed(emb, k=8, iters=5)
+    store = "/tmp/spark_graft_ivf_store_" + sf.strip("/").replace("/", "_")
+    write_ivf_partitioned(emb, cents, store)
+    ann = ivf_pruned_topk(spark, store, q, cents, k=5, nprobe=3)
+    pruning_ok = "list_id" in pruned_scan_partition_filter(ann)
+    hits = ann.select("qid", "vec_id").withColumn("hit", F.lit(1))
+    bf = brute_force_topk(emb, q, k=5)
+    marked = bf.join(hits, ["qid", "vec_id"], "left")
+    counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_pruned"))
+    total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
+    return marked.join(counts, "qid").select(
+        "qid",
+        "rnk",
+        "vec_id",
+        "cos",
+        "n_pruned",
+        (total_hits >= F.lit(6)).alias("recall_ok"),
+        F.lit(pruning_ok).alias("pruning_ok"),
+    )
+
+
 def q_pq_ann_topk(spark, sf):
     """Product-quantization ANN (operators/pq.py: 16 subspaces × 16
     centroids = 32× compression at d=64, ADC lookup search + exact
@@ -2453,6 +2500,22 @@ def q_cms_heavy_hitters(spark, sf):
     )
 
 
+def q_gopher_dup_ngrams(spark, sf):
+    """Paper-faithful Gopher duplicate-n-gram rules for n in 5..10
+    (operators/gopher.py gopher_dup_ngrams; Rae et al. 2021 A1.1's
+    published character-fraction caps 0.15 stepping down to 0.10 —
+    the thresholds the r7-gated gopher_quality could not claim for its
+    2-/3-gram extension). Per doc: dup{5..10}_frac = chars in
+    occurrences beyond each gram's first / total text chars, plus the
+    six-way conjunction ``dup_ngram_pass``. One explode over a
+    concatenated (n, gram) struct array = ONE corpus pass for all six
+    gram widths; exact-integer numerators/denominators divided once in
+    DOUBLE so DuckDB replays bit-for-bit."""
+    from post_ocr_corretion_spark.operators.gopher import gopher_dup_ngrams
+
+    return gopher_dup_ngrams(_t(spark, sf, "documents"))
+
+
 def q_gopher_quality(spark, sf):
     """Gopher/MassiveText repetition rules (operators/gopher.py): per-doc
     top-/duplicate-n-gram mass for n in {2,3} plus the pass flag. All
@@ -2734,6 +2797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "lopq_ann_topk": q_lopq_ann_topk,
+        # -- NEW in r8 beyond the (full) 50-slot window: never
+        # driver-gated — these take r9 window slots AHEAD of the
+        # r6-stale block above (never-gated > stalest) --
+        "gopher_dup_ngrams": q_gopher_dup_ngrams,
+        "ivf_pruned_topk": q_ivf_pruned_topk,
     }
 
 def _lsh_banded_sql() -> str:
@@ -3067,6 +3135,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, top2_frac, dup2_frac, top3_frac, dup3_frac,
                    (top2_frac <= 0.20 AND dup2_frac <= 0.40
                     AND top3_frac <= 0.18 AND dup3_frac <= 0.30) AS gopher_pass
+            FROM f
+        """,
+        "gopher_dup_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, n,
+                     array_to_string(list_slice(t, p, p + n - 1), ' ') AS gram
+              FROM toks,
+                   LATERAL unnest([5, 6, 7, 8, 9, 10]) AS nn(n),
+                   LATERAL unnest(range(1, len(t) - n + 2)) AS s(p)
+              WHERE len(t) >= n
+            ),
+            c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+            d AS (
+              SELECT doc_id, n,
+                     CAST(sum((c - 1) * length(gram)) AS BIGINT) AS dup_chars
+              FROM c GROUP BY 1, 2
+            ),
+            piv AS (
+              SELECT doc_id,
+                     coalesce(max(CASE WHEN n = 5 THEN dup_chars END), 0) AS d5,
+                     coalesce(max(CASE WHEN n = 6 THEN dup_chars END), 0) AS d6,
+                     coalesce(max(CASE WHEN n = 7 THEN dup_chars END), 0) AS d7,
+                     coalesce(max(CASE WHEN n = 8 THEN dup_chars END), 0) AS d8,
+                     coalesce(max(CASE WHEN n = 9 THEN dup_chars END), 0) AS d9,
+                     coalesce(max(CASE WHEN n = 10 THEN dup_chars END), 0) AS d10
+              FROM d GROUP BY doc_id
+            ),
+            f AS (
+              SELECT t.doc_id,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d5 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup5_frac,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d6 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup6_frac,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d7 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup7_frac,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d8 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup8_frac,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d9 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup9_frac,
+                     CASE WHEN n_chars > 0 THEN coalesce(CAST(d10 AS DOUBLE) / CAST(n_chars AS DOUBLE), 0.0) ELSE 0.0 END AS dup10_frac
+              FROM toks t LEFT JOIN piv USING (doc_id)
+            )
+            SELECT doc_id, dup5_frac, dup6_frac, dup7_frac, dup8_frac,
+                   dup9_frac, dup10_frac,
+                   (dup5_frac <= 0.15 AND dup6_frac <= 0.14
+                    AND dup7_frac <= 0.13 AND dup8_frac <= 0.12
+                    AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS dup_ngram_pass
             FROM f
         """,
         "bm25_rank": """
@@ -3806,6 +3921,21 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_ivf, TRUE AS recall_ok
+            FROM rn WHERE rnk <= 5
+        """,
+        "ivf_pruned_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT qid, vec_id,
+                     round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM q CROSS JOIN e WHERE qid <> vec_id
+            ), rn AS (
+              SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+              FROM scored
+            )
+            SELECT qid, rnk, vec_id, cos, CAST(5 AS BIGINT) AS n_pruned,
+                   TRUE AS recall_ok, TRUE AS pruning_ok
             FROM rn WHERE rnk <= 5
         """,
         "multimodal_features": f"""

@@ -33,6 +33,11 @@ from pyspark.sql import functions as F
 TOP2_MAX, TOP3_MAX = 0.20, 0.18
 DUP2_MAX, DUP3_MAX = 0.40, 0.30
 
+# Rae et al. 2021 A1.1, duplicate-n-gram character-fraction caps — these
+# six ARE the paper's published thresholds (dup-5-gram 0.15 stepping
+# down to dup-10-gram 0.10).
+DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
 
 def _ngram_stats(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id_col, top{n}, tot{n}, dup{n}): max gram count, total gram
@@ -91,3 +96,77 @@ def gopher_repetition(
         & (F.col("top3_frac") <= TOP3_MAX)
         & (F.col("dup3_frac") <= DUP3_MAX),
     )
+
+
+def gopher_dup_ngrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paper-faithful Gopher duplicate-n-gram rules for n in 5..10
+    (Rae et al. 2021, A1.1): per document, ``dup{n}_frac`` = characters
+    inside n-gram occurrences BEYOND each gram's first / characters in
+    the document, and ``dup_ngram_pass`` = AND over the paper's six
+    thresholds (0.15 down to 0.10). One repo-chosen resolution of the
+    paper's underspecification, stated: overlapping duplicate grams
+    each count their full character span (no greedy non-overlap
+    de-duplication of spans), so a pathologically repetitive doc can
+    exceed 1.0 — it fails the cap either way, which is the rule's
+    point. Gram characters include their single inner separator spaces;
+    the denominator is the raw text length.
+
+    Scale shape: ONE explode over a concatenated (n, gram) struct array
+    builds all six gram families in a single corpus pass → one
+    (doc, n, gram) hash aggregate (map-side partials; hot grams stay
+    per-document keys) → one (doc, n) aggregate pivoted to columns.
+    Ratios are exact-integer numerators/denominators divided once in
+    DOUBLE — DuckDB replays them bit-for-bit."""
+    toks = F.split(F.col(text_col), " ")
+    nt = F.size(toks)
+    entry_t = "array<struct<n:int,gram:string>>"
+
+    def grams_for(n: int) -> F.Column:
+        return F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(0), nt - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast(entry_t))
+
+    base = docs.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
+    per_gram = (
+        docs.select(
+            id_col,
+            F.explode(F.concat(*[grams_for(n) for n in range(5, 11)])).alias("_e"),
+        )
+        .select(id_col, F.col("_e.n").alias("_n"), F.col("_e.gram").alias("_g"))
+        .groupBy(id_col, "_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_n = per_gram.groupBy(id_col, "_n").agg(
+        F.sum((F.col("_c") - 1) * F.length("_g")).cast("long").alias("_dup_chars")
+    )
+    fracs = [
+        F.coalesce(
+            F.max(F.when(F.col("_n") == n, F.col("_dup_chars"))), F.lit(0)
+        ).alias(f"_d{n}")
+        for n in range(5, 11)
+    ]
+    per_doc = per_n.groupBy(id_col).agg(*fracs)
+    out = base.join(per_doc, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(
+                F.col(f"_d{n}").cast("double") / F.col("n_chars").cast("double"),
+                F.lit(0.0),
+            ).alias(f"dup{n}_frac")
+            for n in range(5, 11)
+        ],
+    )
+    passes = [F.col(f"dup{n}_frac") <= F.lit(DUP_NGRAM_MAX[n]) for n in range(5, 11)]
+    flag = passes[0]
+    for p in passes[1:]:
+        flag = flag & p
+    return out.withColumn("dup_ngram_pass", flag)
