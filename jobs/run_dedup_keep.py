@@ -43,7 +43,14 @@ readers union snapshots for the full training table. Grow-only
 semantics (shipped docs are never evicted) per
 operators.dedup.dedup_keep_incremental, which also states the
 differential-exactness contract vs the full rebuild. Incremental-mode
-counters add docs_new_in / dropped_as_prior_dup.
+counters add docs_new_in / dropped_as_prior_dup. The downstream stages
+apply to each increment's kept delta too — decontaminate and redact are
+per-row, so a flag-consistent run sequence covers every shipped row
+exactly once; --shuffle-shards keeps id-stable shards but positions are
+per-snapshot (global training order = snapshot_id, shard,
+pos_in_shard); --substring-scrub is REFUSED in incremental mode because
+its "corpus-duplicated span" is defined over the whole table and a
+delta-only scrub would silently diverge from the full rebuild.
 """
 from __future__ import annotations
 
@@ -105,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.n_hashes != args.bands * args.rows_per_band:
         parser.error("--n-hashes must equal --bands * --rows-per-band")
+    if args.incremental and args.substring_scrub:
+        parser.error(
+            "--substring-scrub is full-rebuild-only: its 'corpus-duplicated "
+            "span' is defined over the WHOLE table, and a delta-only scrub "
+            "would silently diverge from the full rebuild (spans duplicated "
+            "between a new doc and a prior snapshot are invisible to it)"
+        )
 
     from pyspark.sql import Observation, SparkSession
     from pyspark.sql import functions as F
@@ -116,6 +130,61 @@ def main(argv: list[str] | None = None) -> int:
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="dedup_keep", cores=args.cores)
     obs = Observation("dedup_counters")
+
+    def post_dedup_stages(kept, counters):
+        """decontaminate → substring-scrub → redact → shuffle, SHARED by
+        the full and incremental paths (previously incremental silently
+        skipped them). In incremental mode each stage applies to the
+        DELTA's kept docs, which matches the full rebuild exactly for the
+        per-row stages (decontaminate drops and redact rewrites one doc
+        at a time — prior snapshots were processed by their own run, so a
+        flag-consistent run sequence covers every shipped row once);
+        substring-scrub is corpus-global and is refused up-front in
+        incremental mode. Shuffle caveat: shard is id-stable (md5) but
+        pos_in_shard is a rank WITHIN the rows being written, so in
+        incremental mode positions are per-snapshot — the global training
+        order is (snapshot_id, shard, pos_in_shard)."""
+        if args.decontaminate_bench:
+            from post_ocr_corretion_spark.operators.scrub import decontaminate
+
+            lo, hi = (int(x) for x in args.decontaminate_bench.split(":"))
+            bench = (
+                spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+                .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .select("text")
+            )
+            kept = decontaminate(kept, bench, n=args.decontaminate_n, mode="drop")
+        if args.substring_scrub:
+            from post_ocr_corretion_spark.operators.substring_dedup import (
+                remove_repeated_spans,
+            )
+
+            kept = remove_repeated_spans(kept, k=args.substring_scrub)
+            counters = counters + [
+                F.coalesce(F.sum("n_removed_tokens"), F.lit(0)).alias(
+                    "span_tokens_removed"
+                )
+            ]
+        if args.redact_pii:
+            from post_ocr_corretion_spark.operators.scrub import redact_pii
+
+            kept = (
+                redact_pii(kept)
+                .drop("text")
+                .withColumnRenamed("text_redacted", "text")
+            )
+            counters = counters + [
+                F.coalesce(F.sum("n_email"), F.lit(0)).alias("emails_redacted"),
+                F.coalesce(F.sum("n_ipv4"), F.lit(0)).alias("ips_redacted"),
+                F.coalesce(F.sum("n_phone"), F.lit(0)).alias("phones_redacted"),
+            ]
+        if args.shuffle_shards:
+            from post_ocr_corretion_spark.operators.shuffle import deterministic_shuffle
+
+            kept = deterministic_shuffle(
+                kept, n_shards=args.shuffle_shards, seed=args.shuffle_seed
+            )
+        return kept, counters
 
     def job():
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
@@ -133,42 +202,7 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.col("cluster_size")).alias("docs_in"),
             F.sum(F.col("cluster_size") - 1).alias("dup_docs_removed"),
         ]
-        if args.decontaminate_bench:
-            from post_ocr_corretion_spark.operators.scrub import decontaminate
-
-            lo, hi = (int(x) for x in args.decontaminate_bench.split(":"))
-            bench = (
-                spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-                .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-                .select("text")
-            )
-            kept = decontaminate(kept, bench, n=args.decontaminate_n, mode="drop")
-        if args.substring_scrub:
-            from post_ocr_corretion_spark.operators.substring_dedup import (
-                remove_repeated_spans,
-            )
-
-            kept = remove_repeated_spans(kept, k=args.substring_scrub)
-            counters += [F.sum("n_removed_tokens").alias("span_tokens_removed")]
-        if args.redact_pii:
-            from post_ocr_corretion_spark.operators.scrub import redact_pii
-
-            kept = (
-                redact_pii(kept)
-                .drop("text")
-                .withColumnRenamed("text_redacted", "text")
-            )
-            counters += [
-                F.sum("n_email").alias("emails_redacted"),
-                F.sum("n_ipv4").alias("ips_redacted"),
-                F.sum("n_phone").alias("phones_redacted"),
-            ]
-        if args.shuffle_shards:
-            from post_ocr_corretion_spark.operators.shuffle import deterministic_shuffle
-
-            kept = deterministic_shuffle(
-                kept, n_shards=args.shuffle_shards, seed=args.shuffle_seed
-            )
+        kept, counters = post_dedup_stages(kept, counters)
         return kept.observe(obs, *counters)
 
     counters_fn = lambda: {k: int(v) for k, v in obs.get.items()}  # noqa: E731
@@ -212,18 +246,28 @@ def main(argv: list[str] | None = None) -> int:
             kept, new_bands = dedup_keep_incremental(
                 new_docs, prior.filter(F.col("band").isNotNull()), **band_kw
             )
+            # two observations on ONE plan (both collected during the
+            # single write action — no extra pass): the dedup counters
+            # attach BEFORE the optional stages so a decontaminate-drop
+            # can't masquerade as dropped_as_prior_dup; docs_kept and the
+            # stage counters attach to the final written rows.
             inc_obs = Observation("inc_counters")
             kept = kept.observe(
                 inc_obs,
-                F.count(F.lit(1)).alias("docs_kept"),
                 F.coalesce(F.sum("cluster_size"), F.lit(0)).alias("docs_in"),
                 F.coalesce(F.sum(F.col("cluster_size") - 1), F.lit(0)).alias(
                     "dup_docs_removed"
                 ),
             )
+            kept, stage_counters = post_dedup_stages(
+                kept, [F.count(F.lit(1)).alias("docs_kept")]
+            )
+            stage_obs = Observation("inc_stage_counters")
+            kept = kept.observe(stage_obs, *stage_counters)
 
             def inc_counters():
                 c = {k: int(v) for k, v in inc_obs.get.items()}
+                c.update({k: int(v) for k, v in stage_obs.get.items()})
                 c["docs_new_in"] = n_new
                 c["dropped_as_prior_dup"] = n_new - c["docs_in"]
                 return c

@@ -160,3 +160,69 @@ def test_incremental_job_two_batches(spark, tmp_path, capsys):
     assert {r.doc_id for r in state.select("doc_id").distinct().collect()} == {
         i for i, _ in B1 + B2
     }
+
+
+# batch texts again same-length (first-wins regime); batch 2 carries an
+# email so the redact stage has a non-zero counter on the DELTA
+C1 = [
+    (0, "alpha bravo charlie delta echo fx"),
+    (1, "alpha bravo charlie delta echo fx"),   # dup of 0
+    (2, "kilo lima mike november oscar papa"),
+]
+C2 = [
+    (10, "alpha bravo charlie delta echo fx"),  # dup of prior 0 -> drop
+    (11, "write to a@b.co for more info today"),  # keep, 1 email
+    (12, "tango uniform victor whiskey xray z"),  # keep
+]
+
+
+def test_incremental_job_applies_post_dedup_stages(spark, tmp_path, capsys):
+    """--redact-pii and --shuffle-shards apply to each increment's kept
+    DELTA (previously silently skipped in incremental mode); the stage
+    counters ride the same single write action."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_dedup_keep as job
+
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(C1 + C2, SCHEMA).write.parquet(f"{sf}/documents.parquet")
+    out = str(tmp_path / "out")
+    flags = ["--redact-pii", "--shuffle-shards", "2", "--incremental", "--cores", "4"]
+
+    assert job.main(["--sf-dir", sf, "--out", out, "--max-doc", "10"] + flags) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["counters"]["docs_kept"] == 2
+    assert first["counters"]["emails_redacted"] == 0
+
+    assert job.main(["--sf-dir", sf, "--out", out] + flags) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["counters"]["docs_kept"] == 2
+    assert second["counters"]["dropped_as_prior_dup"] == 1  # 10
+    assert second["counters"]["emails_redacted"] == 1       # 11's a@b.co
+
+    from post_ocr_corretion_spark.io.snapshots import SnapshotWriter
+
+    s2 = SnapshotWriter(out).read(spark, 2)
+    rows = {r.doc_id: r for r in s2.collect()}
+    assert set(rows) == {11, 12}
+    assert "<EMAIL>" in rows[11].text and "a@b.co" not in rows[11].text
+    # shuffle stage ran on the delta: id-stable shard + per-snapshot pos
+    assert all(r.shard in (0, 1) and r.pos_in_shard >= 0 for r in rows.values())
+
+
+def test_incremental_refuses_substring_scrub(tmp_path, capsys):
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_dedup_keep as job
+
+    with _pytest.raises(SystemExit) as exc:
+        job.main(
+            ["--sf-dir", str(tmp_path), "--out", str(tmp_path / "o"),
+             "--incremental", "--substring-scrub", "3"]
+        )
+    assert exc.value.code == 2
+    assert "full-rebuild-only" in capsys.readouterr().err
