@@ -2538,6 +2538,55 @@ def q_bm25_rank(spark, sf):
     )
 
 
+def q_hybrid_rrf(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    fusion.py, Cormack et al. 2009): the BM25 top-20 for a fixed term
+    query fused with the dense cosine top-20 for a fixed query vector
+    (embeddings vec_id doubles as doc_id — the testdata tables are
+    row-aligned). Only RANKS enter the fused score, each reciprocal
+    term is DECIMAL-rounded before the per-doc sum, and both input
+    rankings are themselves oracle-green queries (`bm25_rank`,
+    `ann_cosine_topk`) — so the oracle is their two CTE chains plus the
+    fusion arithmetic."""
+    from post_ocr_corretion_spark.operators.bm25 import bm25_topk
+    from post_ocr_corretion_spark.operators.fusion import rrf_fuse
+    from post_ocr_corretion_spark.operators.similarity import brute_force_topk
+
+    sparse = bm25_topk(
+        _t(spark, sf, "documents"), terms=["spark", "join", "window"], k=20
+    ).select("doc_id", "rnk")
+    emb = _emb(spark, sf)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    dense = brute_force_topk(emb, q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rnk"
+    )
+    return rrf_fuse([sparse, dense], rrf_k=60, k=10)
+
+
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    target = the English documents, pool = everything else; hashed-
+    unigram (m=1024) smoothed log-likelihood-ratio weights, selection by
+    seeded Gumbel top-25 (the paper's without-replacement resampling).
+    Every log term and the Gumbel perturbation are DECIMAL-rounded
+    before any sum, and the md5 hash/uniform idioms are the repo's
+    oracle-replayable forms — DuckDB replays fit, scoring, and the noise
+    bit-for-bit."""
+    from post_ocr_corretion_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf, "documents")
+    return dsir_select(
+        target=docs.filter(F.col("lang") == "en"),
+        pool=docs.filter(F.col("lang") != "en"),
+        k=25,
+        n_buckets=1024,
+        seed="dsir",
+        gumbel=True,
+    )
+
+
 def q_lopq_ann_topk(spark, sf):
     """LOPQ — locally-optimized product quantization (operators/
     lopq.py): the IVF-PQ index with a PER-LIST orthonormal rotation and
@@ -2802,6 +2851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-stale block above (never-gated > stalest) --
         "gopher_dup_ngrams": q_gopher_dup_ngrams,
         "ivf_pruned_topk": q_ivf_pruned_topk,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dsir_select": q_dsir_select,
     }
 
 def _lsh_banded_sql() -> str:
@@ -3183,6 +3234,119 @@ def oracle_sql() -> dict[str, str]:
                     AND dup7_frac <= 0.13 AND dup8_frac <= 0.12
                     AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS dup_ngram_pass
             FROM f
+        """,
+        "dsir_select": """
+            WITH tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+            pool AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+            ttok AS (
+              SELECT ('0x' || substr(md5('dsir#' || w), 1, 16))::UBIGINT % 1024 AS bucket
+              FROM tgt, LATERAL unnest(string_split(text, ' ')) AS u(w)
+            ),
+            ptok AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('dsir#' || w), 1, 16))::UBIGINT % 1024 AS bucket
+              FROM pool, LATERAL unnest(string_split(text, ' ')) AS u(w)
+            ),
+            tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM ttok GROUP BY 1),
+            pc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cp FROM ptok GROUP BY 1),
+            tot AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM ttok) AS tt,
+                     (SELECT CAST(count(*) AS BIGINT) FROM ptok) AS tp
+            ),
+            ratio AS (
+              SELECT CAST(b.range AS BIGINT) AS bucket,
+                     CAST(round(ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(tt AS DOUBLE) + CAST(512.0 AS DOUBLE))), 8) AS DECIMAL(18,8))
+                   - CAST(round(ln((CAST(COALESCE(pc.cp, 0) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                   / (CAST(tp AS DOUBLE) + CAST(512.0 AS DOUBLE))), 8) AS DECIMAL(18,8)) AS lr
+              FROM range(1024) b
+              LEFT JOIN tc ON tc.bucket = b.range
+              LEFT JOIN pc ON pc.bucket = b.range, tot
+            ),
+            wsum AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) AS w
+              FROM ptok JOIN ratio USING (bucket) GROUP BY doc_id
+            ),
+            keyed AS (
+              SELECT doc_id, n_tokens,
+                     round(CAST(w AS DOUBLE), 6) AS weight,
+                     round(CAST(w + CAST(round(-ln(-ln(
+                       (CAST(('0x' || substr(md5('dsirsel#' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496.0 AS DOUBLE)
+                     )), 8) AS DECIMAL(18,8)) AS DOUBLE), 6) AS sel_key
+              FROM wsum
+            )
+            SELECT doc_id, n_tokens, weight, sel_key,
+                   CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id ASC) AS INT) AS rnk
+            FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 25
+        """,
+        "hybrid_rrf": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM base),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM d
+            ),
+            hits AS (
+              SELECT doc_id, w FROM base, LATERAL unnest(t) AS u(w)
+              WHERE w IN ('spark', 'join', 'window')
+            ),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM hits GROUP BY 1, 2),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM hits GROUP BY w),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(round(
+                       CAST(CAST(round(
+                         ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8) AS DECIMAL(18,8)) AS DOUBLE)
+                       * ((CAST(tf AS DOUBLE) * CAST(2.5 AS DOUBLE))
+                          / (CAST(tf AS DOUBLE)
+                             + CAST(1.5 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE)
+                                    * (CAST(dl AS DOUBLE)
+                                       / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))),
+                       8) AS DECIMAL(18,8)) AS s
+              FROM tf JOIN df USING (w) JOIN d USING (doc_id), stats
+            ),
+            per AS (
+              SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS score
+              FROM scored GROUP BY doc_id
+            ),
+            sparse AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+              FROM per ORDER BY score DESC, doc_id ASC LIMIT 20
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            cscored AS (
+              SELECT vec_id AS doc_id,
+                     round(list_dot_product(qv, v)
+                           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 4) AS cos
+              FROM qv CROSS JOIN e WHERE vec_id <> 0
+            ),
+            dense AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rnk
+              FROM cscored ORDER BY cos DESC, doc_id ASC LIMIT 20
+            ),
+            un AS (
+              SELECT doc_id,
+                     CAST(round(1.0 / (CAST(60.0 AS DOUBLE) + CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS term
+              FROM sparse
+              UNION ALL
+              SELECT doc_id,
+                     CAST(round(1.0 / (CAST(60.0 AS DOUBLE) + CAST(rnk AS DOUBLE)), 8) AS DECIMAL(18,8)) AS term
+              FROM dense
+            ),
+            fused AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+                     round(CAST(sum(term) AS DOUBLE), 8) AS rrf_score
+              FROM un GROUP BY doc_id
+            )
+            SELECT doc_id, n_lists, rrf_score,
+                   CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rnk
+            FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
         "bm25_rank": """
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
