@@ -2565,6 +2565,20 @@ def q_hybrid_rrf(spark, sf):
     return rrf_fuse([sparse, dense], rrf_k=60, k=10)
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer fit (operators/bpe.py, Sennrich et al.
+    2016): 4 merges learned on the documents word-frequency table.
+    Each step is one exact-integer pair-count aggregate + a total-order
+    argmax (count desc, pair lexicographic asc) + a byte-exact
+    delimited-string replace — DuckDB replays the whole fit as an
+    unrolled CTE chain (built by _bpe_oracle_sql). The corpus is
+    scanned once; every iteration runs on the |vocab|-row word table;
+    the only driver artifact is the 1-row winner per step."""
+    from post_ocr_corretion_spark.operators.bpe import bpe_fit
+
+    return bpe_fit(_t(spark, sf, "documents"), n_merges=4)
+
+
 def q_dsir_select(spark, sf):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     target = the English documents, pool = everything else; hashed-
@@ -2853,7 +2867,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pruned_topk": q_ivf_pruned_topk,
         "hybrid_rrf": q_hybrid_rrf,
         "dsir_select": q_dsir_select,
+        "bpe_merges": q_bpe_merges,
     }
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """Unrolled BPE fit: per step i, c_i = adjacent-pair counts over the
+    delimited symbol strings, m_i = the argmax pair, s_i = the strings
+    after replacing it. Mirrors operators/bpe.py byte-for-byte (exact
+    integer counts, total-order tie-break, literal replace)."""
+    parts = [
+        """WITH w AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS f
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE word <> '' GROUP BY word
+            ),
+            s0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, f FROM w)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""c{i} AS (
+              SELECT tt.t[g.i] AS lft, tt.t[g.i + 1] AS rgt,
+                     CAST(sum(tt.f) AS BIGINT) AS cnt
+              FROM (SELECT f, string_split(substr(s, 2, length(s) - 2), '><') AS t
+                    FROM s{i - 1}) tt,
+                   LATERAL unnest(generate_series(1, len(tt.t) - 1)) AS g(i)
+              GROUP BY 1, 2
+            ),
+            m{i} AS (
+              SELECT lft, rgt, cnt FROM c{i}
+              ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
+            ),
+            s{i} AS (
+              SELECT replace(s, '<' || m.lft || '><' || m.rgt || '>',
+                             '<' || m.lft || m.rgt || '>') AS s, f
+              FROM s{i - 1}, m{i} m
+            )"""
+        )
+        # s{n_merges} is built but unused — harmless, keeps the template uniform
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, lft, rgt, lft || rgt AS merged, cnt FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
 
 def _lsh_banded_sql() -> str:
     """UNION ALL of the 4 per-band bucketed selects (4 planes per band),
@@ -4911,4 +4967,5 @@ def oracle_sql() -> dict[str, str]:
           JOIN tsq USING (doc_id)
           LEFT JOIN lm USING (doc_id)
     """
+    sql["bpe_merges"] = _bpe_oracle_sql(4)
     return sql
