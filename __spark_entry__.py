@@ -2579,6 +2579,22 @@ def q_bpe_merges(spark, sf):
     return bpe_fit(_t(spark, sf, "documents"), n_merges=4)
 
 
+def q_bpe_segment_docs(spark, sf):
+    """BPE apply path (operators/bpe.py bpe_segment): the 4 merges
+    learned by the fit (a bounded 4-row driver artifact, same class as
+    the IVF centroids) applied to the first 50 documents as a pure
+    replace-chain projection — zero joins or shuffles over the corpus —
+    emitted flat as (doc_id, pos, token). The oracle re-learns the
+    merges via the shared unrolled CTE chain and re-applies them in
+    SQL, so a fit regression OR an apply regression goes red."""
+    from post_ocr_corretion_spark.operators.bpe import bpe_fit, bpe_segment
+
+    docs = _t(spark, sf, "documents")
+    merges = [(r["lft"], r["rgt"]) for r in bpe_fit(docs, n_merges=4).collect()]
+    seg = bpe_segment(docs.filter(F.col("doc_id") < 50), merges)
+    return seg.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+
+
 def q_dsir_select(spark, sf):
     """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
     target = the English documents, pool = everything else; hashed-
@@ -2868,13 +2884,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "dsir_select": q_dsir_select,
         "bpe_merges": q_bpe_merges,
+        "bpe_segment_docs": q_bpe_segment_docs,
     }
 
-def _bpe_oracle_sql(n_merges: int = 4) -> str:
-    """Unrolled BPE fit: per step i, c_i = adjacent-pair counts over the
-    delimited symbol strings, m_i = the argmax pair, s_i = the strings
-    after replacing it. Mirrors operators/bpe.py byte-for-byte (exact
-    integer counts, total-order tie-break, literal replace)."""
+def _bpe_fit_ctes(n_merges: int = 4) -> str:
+    """The shared unrolled-fit CTE chain: per step i, c_i = adjacent-pair
+    counts over the delimited symbol strings, m_i = the argmax pair,
+    s_i = the strings after replacing it. Mirrors operators/bpe.py
+    byte-for-byte (exact integer counts, total-order tie-break, literal
+    replace)."""
     parts = [
         """WITH w AS (
               SELECT word, CAST(count(*) AS BIGINT) AS f
@@ -2903,12 +2921,67 @@ def _bpe_oracle_sql(n_merges: int = 4) -> str:
               FROM s{i - 1}, m{i} m
             )"""
         )
-        # s{n_merges} is built but unused — harmless, keeps the template uniform
+        # s{n_merges} is built but unused by the fit query — harmless,
+        # keeps the template uniform (the segment oracle ignores it too)
+    return ",\n".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 4) -> str:
+    """bpe_merges: the learned merge table (step, lft, rgt, merged, cnt)."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS step, lft, rgt, lft || rgt AS merged, cnt FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return ",\n".join(parts) + "\n" + union
+    return _bpe_fit_ctes(n_merges) + "\n" + union
+
+
+def _bpe_segment_oracle_sql(n_merges: int = 4, max_doc: int = 50) -> str:
+    """bpe_segment_docs: learn the merges (shared CTE chain), then apply
+    them in order to every word of the first ``max_doc`` documents and
+    emit (doc_id, pos, token) flat — the same replace-chain projection
+    operators/bpe.py's bpe_segment plans."""
+    apply_ctes = []
+    prev = "enc"
+    for i in range(1, n_merges + 1):
+        apply_ctes.append(
+            f"""a{i} AS (
+              SELECT doc_id, p,
+                     replace(s, '<' || m.lft || '><' || m.rgt || '>',
+                             '<' || m.lft || m.rgt || '>') AS s
+              FROM {prev}, m{i} m
+            )"""
+        )
+        prev = f"a{i}"
+    return (
+        _bpe_fit_ctes(n_merges)
+        + f""",
+            wrds AS (
+              SELECT ws.doc_id, g.p, ws.wl[g.p] AS word
+              FROM (SELECT doc_id, string_split(text, ' ') AS wl
+                    FROM documents WHERE doc_id < {max_doc}) ws,
+                   LATERAL unnest(generate_series(1, len(ws.wl))) AS g(p)
+              WHERE ws.wl[g.p] <> ''
+            ),
+            enc AS (
+              SELECT doc_id, p, regexp_replace(word, '(.)', '<\\1>', 'g') AS s
+              FROM wrds
+            ),
+            """
+        + ",\n".join(apply_ctes)
+        + f""",
+            toks AS (
+              SELECT doc_id, p,
+                     string_split(substr(s, 2, length(s) - 2), '><') AS t
+              FROM {prev}
+            ),
+            flat AS (
+              SELECT doc_id, flatten(list(t ORDER BY p)) AS tokens
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(g.i - 1 AS INT) AS pos, tokens[g.i] AS token
+            FROM flat, LATERAL unnest(generate_series(1, len(tokens))) AS g(i)
+        """
+    )
 
 
 def _lsh_banded_sql() -> str:
@@ -4968,4 +5041,5 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN lm USING (doc_id)
     """
     sql["bpe_merges"] = _bpe_oracle_sql(4)
+    sql["bpe_segment_docs"] = _bpe_segment_oracle_sql(4, max_doc=50)
     return sql
