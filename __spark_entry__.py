@@ -989,6 +989,28 @@ def q_lm_quality(spark, sf):
     return lm_nll_score(docs, bigrams, unigrams, vocab)
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing (operators/
+    lm_quality.py ccnet_perplexity_buckets; Wenzek et al. 2020): per
+    language, exact tercile THRESHOLDS from the (lang, avg_nll)
+    distinct-value histogram — never a per-language rank over the
+    corpus — broadcast back as a |langs|-row table. Ties at a threshold
+    share its bucket, so the assignment is value-deterministic and
+    DuckDB replays it bit-for-bit on top of the already-gated
+    lm_quality CTE."""
+    from post_ocr_corretion_spark.operators.lm_quality import (
+        bigram_lm_fit,
+        ccnet_perplexity_buckets,
+        lm_nll_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bigrams, unigrams, vocab = bigram_lm_fit(docs)
+    return ccnet_perplexity_buckets(
+        docs, lm_nll_score(docs, bigrams, unigrams, vocab)
+    )
+
+
 def q_profile_columns(spark, sf):
     """Single-pass table profiling (operators/profile.py): one melt
     explode + one aggregate yields rows/nulls/exact-distinct/min/max
@@ -2885,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bpe_merges": q_bpe_merges,
         "bpe_segment_docs": q_bpe_segment_docs,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 def _bpe_fit_ctes(n_merges: int = 4) -> str:
@@ -2897,7 +2920,9 @@ def _bpe_fit_ctes(n_merges: int = 4) -> str:
         """WITH w AS (
               SELECT word, CAST(count(*) AS BIGINT) AS f
               FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-              WHERE word <> '' GROUP BY word
+              WHERE word <> ''
+                AND word NOT LIKE '%<%' AND word NOT LIKE '%>%'
+              GROUP BY word
             ),
             s0 AS (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS s, f FROM w)"""
     ]
@@ -2945,7 +2970,7 @@ def _bpe_segment_oracle_sql(n_merges: int = 4, max_doc: int = 50) -> str:
     for i in range(1, n_merges + 1):
         apply_ctes.append(
             f"""a{i} AS (
-              SELECT doc_id, p,
+              SELECT doc_id, p, word,
                      replace(s, '<' || m.lft || '><' || m.rgt || '>',
                              '<' || m.lft || m.rgt || '>') AS s
               FROM {prev}, m{i} m
@@ -2963,7 +2988,8 @@ def _bpe_segment_oracle_sql(n_merges: int = 4, max_doc: int = 50) -> str:
               WHERE ws.wl[g.p] <> ''
             ),
             enc AS (
-              SELECT doc_id, p, regexp_replace(word, '(.)', '<\\1>', 'g') AS s
+              SELECT doc_id, p, word,
+                     regexp_replace(word, '(.)', '<\\1>', 'g') AS s
               FROM wrds
             ),
             """
@@ -2971,7 +2997,10 @@ def _bpe_segment_oracle_sql(n_merges: int = 4, max_doc: int = 50) -> str:
         + f""",
             toks AS (
               SELECT doc_id, p,
-                     string_split(substr(s, 2, length(s) - 2), '><') AS t
+                     CASE WHEN word LIKE '%<%' OR word LIKE '%>%'
+                          THEN [word]
+                          ELSE string_split(substr(s, 2, length(s) - 2), '><')
+                     END AS t
               FROM {prev}
             ),
             flat AS (
@@ -3370,11 +3399,13 @@ def oracle_sql() -> dict[str, str]:
             ttok AS (
               SELECT ('0x' || substr(md5('dsir#' || w), 1, 16))::UBIGINT % 1024 AS bucket
               FROM tgt, LATERAL unnest(string_split(text, ' ')) AS u(w)
+              WHERE w <> ''
             ),
             ptok AS (
               SELECT doc_id,
                      ('0x' || substr(md5('dsir#' || w), 1, 16))::UBIGINT % 1024 AS bucket
               FROM pool, LATERAL unnest(string_split(text, ' ')) AS u(w)
+              WHERE w <> ''
             ),
             tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM ttok GROUP BY 1),
             pc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cp FROM ptok GROUP BY 1),
@@ -5042,4 +5073,33 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["bpe_merges"] = _bpe_oracle_sql(4)
     sql["bpe_segment_docs"] = _bpe_segment_oracle_sql(4, max_doc=50)
+    sql["ccnet_buckets"] = f"""
+        WITH lmscore AS ({sql["lm_quality"]}),
+        sc AS (
+          SELECT s.doc_id, d.lang, s.avg_nll
+          FROM lmscore s JOIN documents d USING (doc_id)
+        ),
+        hist AS (
+          SELECT lang, avg_nll, CAST(count(*) AS BIGINT) AS c
+          FROM sc GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT lang, avg_nll,
+                 sum(c) OVER (PARTITION BY lang ORDER BY avg_nll
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY lang) AS n
+          FROM hist
+        ),
+        th AS (
+          SELECT lang,
+                 min(CASE WHEN cum * 3 >= n THEN avg_nll END) AS t1,
+                 min(CASE WHEN cum * 3 >= n * 2 THEN avg_nll END) AS t2
+          FROM cum GROUP BY lang
+        )
+        SELECT sc.doc_id, sc.lang, sc.avg_nll,
+               CASE WHEN sc.avg_nll <= t1 THEN 'head'
+                    WHEN sc.avg_nll <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc JOIN th USING (lang)
+    """
     return sql

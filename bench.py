@@ -479,8 +479,12 @@ def _replicated_corpus(spark, rep: int, n_q: int):
     feeds the hash on purpose."""
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    base = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # spread the (single-file) base BEFORE the ×rep explode so
+        # generation runs on every core, not one task
+        .repartition(CPUS)
     )
     rep_ids = base.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
         "vec_id", F.col("vec_id") + F.col("k").cast("long") * F.lit(10_000_000)
@@ -498,7 +502,8 @@ def _replicated_corpus(spark, rep: int, n_q: int):
     corpus = (
         noised.filter(norm > 0)
         .select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
-        .repartition(CPUS)
+        # already CPUS balanced partitions from the pre-explode
+        # repartition — no second 1M-row shuffle here
         .localCheckpoint()
     )
     n_corpus = corpus.count()

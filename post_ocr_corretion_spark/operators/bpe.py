@@ -50,11 +50,22 @@ def word_freq_symbols(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(word, f, s) — the word-frequency table with initial character
-    symbol strings. The ONLY corpus-wide pass of the whole fit."""
+    symbol strings. The ONLY corpus-wide pass of the whole fit.
+
+    Words containing the delimiter characters '<' or '>' are EXCLUDED
+    from the fit (they would break the bracket invariant that makes the
+    merge replace byte-exact); ``bpe_segment`` passes such words
+    through whole. In web text these are markup residue a quality
+    filter drops anyway — the exclusion is documented, deterministic,
+    and replayed by the oracle's NOT LIKE predicates."""
     toks = F.split(F.col(text_col), " ")
     return (
         docs.select(F.explode(toks).alias("word"))
-        .filter(F.col("word") != "")
+        .filter(
+            (F.col("word") != "")
+            & ~F.col("word").contains("<")
+            & ~F.col("word").contains(">")
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
         .select("word", "f", _sym_string(F.col("word")).alias("s"))
@@ -128,12 +139,16 @@ def bpe_segment(
     """(id_col, tokens) — each document's whitespace words segmented by
     the learned merges, applied in order. A chain of literal replaces
     per word — zero shuffles, zero joins; the merge list is a plan
-    literal (broadcast-free, it IS the expression)."""
+    literal (broadcast-free, it IS the expression). Words containing
+    '<' or '>' (excluded from the fit — see word_freq_symbols) pass
+    through whole as a single token."""
     word = F.col("_w")
     s = _sym_string(word)
     for lft, rgt in merges:
         s = F.replace(s, F.lit(f"<{lft}><{rgt}>"), F.lit(f"<{lft}{rgt}>"))
-    toks = F.split(F.expr("substring(_s, 2, length(_s) - 2)"), "><")
+    toks = F.when(
+        word.contains("<") | word.contains(">"), F.array(word)
+    ).otherwise(F.split(F.expr("substring(_s, 2, length(_s) - 2)"), "><"))
     return (
         docs.select(id_col, F.posexplode(F.split(F.col(text_col), " ")).alias("_p", "_w"))
         .filter(word != "")

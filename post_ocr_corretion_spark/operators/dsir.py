@@ -57,10 +57,13 @@ def _bucket(col: Column, n_buckets: int, seed: str) -> Column:
 def _doc_buckets(
     docs: DataFrame, n_buckets: int, seed: str, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id_col, bucket) — one row per token occurrence."""
+    """(id_col, bucket) — one row per non-empty token occurrence (empty
+    strings from consecutive separators are not tokens)."""
     toks = F.split(F.col(text_col), " ")
-    return docs.select(id_col, F.explode(toks).alias("_w")).select(
-        id_col, _bucket(F.col("_w"), n_buckets, seed)
+    return (
+        docs.select(id_col, F.explode(toks).alias("_w"))
+        .filter(F.col("_w") != "")
+        .select(id_col, _bucket(F.col("_w"), n_buckets, seed))
     )
 
 

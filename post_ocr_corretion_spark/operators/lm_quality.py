@@ -118,3 +118,68 @@ def lm_nll_score(
             ).alias("avg_nll"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    scores: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, lang, avg_nll, bucket) — CCNet's head/middle/tail split
+    (Wenzek et al., LREC 2020): per language, documents are bucketed by
+    perplexity terciles (head = most fluent third). ``scores`` is
+    lm_nll_score's output; docs with < 2 tokens have no score and are
+    excluded, exactly as in the scoring step.
+
+    Scale shape — thresholds, not ranks: CCNet assigns buckets by
+    comparing each doc to per-language cut points, so this computes the
+    EXACT tercile thresholds from the (lang, avg_nll) DISTINCT-VALUE
+    histogram (one aggregate; the cumulative window runs over distinct
+    ROUNDED score values — bounded by value granularity, ≪ corpus — not
+    over documents, so no per-language single-task sort over the data;
+    compare d5's no-SinglePartition lesson) and broadcasts the
+    |langs|-row threshold table back. Ties at a threshold share its
+    bucket (value-deterministic — no dependence on document order), so
+    bucket sizes are thirds up to tie mass.
+
+    Determinism: thresholds are SELECTED existing avg_nll values (no
+    new arithmetic), cumulative counts are exact integers compared via
+    cum*3 >= n — DuckDB replays everything bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    scored = scores.join(
+        docs.select(id_col, F.col(lang_col).alias("lang")), id_col
+    ).select(id_col, "lang", "avg_nll")
+    hist = scored.groupBy("lang", "avg_nll").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("avg_nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang",
+        "avg_nll",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("lang")).alias("_n"),
+    )
+    thresholds = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("avg_nll"))).alias("_t1"),
+        F.min(F.when(F.col("_cum") * 3 >= F.col("_n") * 2, F.col("avg_nll"))).alias(
+            "_t2"
+        ),
+    )
+    return (
+        scored.join(F.broadcast(thresholds), "lang")
+        .select(
+            id_col,
+            "lang",
+            "avg_nll",
+            F.when(F.col("avg_nll") <= F.col("_t1"), F.lit("head"))
+            .when(F.col("avg_nll") <= F.col("_t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -85,3 +85,35 @@ def test_fit_folds_vocab_into_the_unigram_scan(spark):
     new = {(r.w1, r.c1) for r in unigrams.collect()}
     assert new == old and len(new) > 0
     assert "parquet" not in formatted_plan(unigrams).lower()
+
+
+def test_ccnet_buckets_thirds_and_tie_semantics(spark):
+    from post_ocr_corretion_spark.operators.lm_quality import (
+        bigram_lm_fit,
+        ccnet_perplexity_buckets,
+        lm_nll_score,
+    )
+
+    # 9 distinct two-word docs per lang → 9 scores per lang, clean thirds
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        for i in range(9):
+            # vary fluency: repeat a common bigram i+1 times (more
+            # repeats of the corpus-frequent pair → lower NLL)
+            rows.append((did, " ".join(["alpha beta"] * (i + 1)) + f" w{i}", lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bigrams, unigrams, vocab = bigram_lm_fit(docs)
+    out = ccnet_perplexity_buckets(docs, lm_nll_score(docs, bigrams, unigrams, vocab))
+    got = out.collect()
+    assert len(got) == 18
+    for lang in ("en", "de"):
+        sub = sorted((r for r in got if r["lang"] == lang), key=lambda r: r["avg_nll"])
+        labels = [r["bucket"] for r in sub]
+        assert labels == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # bucket is a function of (lang, avg_nll): equal scores share a bucket
+    by_key = {}
+    for r in got:
+        by_key.setdefault((r["lang"], r["avg_nll"]), set()).add(r["bucket"])
+    assert all(len(v) == 1 for v in by_key.values())

@@ -4,6 +4,7 @@ from __future__ import annotations
 import __spark_entry__ as em
 from post_ocr_corretion_spark.plans.audit import (
     assert_columns_pruned,
+    formatted_plan,
     join_strategies,
     pushed_filters,
     scan_read_schemas,
@@ -336,3 +337,40 @@ def test_incremental_dedup_prunes_state_and_semi_joins(spark, tmp_path):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
     assert_columns_pruned(kept, ["fat"])
+
+
+def test_dsir_plan_broadcasts_ratio_and_topks(spark):
+    """dsir_select: the m-row log-ratio table rides a BroadcastHashJoin
+    over the scoring pool; selection plans TakeOrderedAndProject (never
+    a single-task global sort); no row-wise Python anywhere."""
+    df = em.queries()["dsir_select"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hybrid_rrf_plan_topk_and_no_corpus_shuffle(spark):
+    """hybrid_rrf: fused selection is TakeOrderedAndProject over the
+    bounded union of two top-k frames; the corpus-side retrievals keep
+    their own audited shapes (bm25's stats/df ride broadcasts)."""
+    df = em.queries()["hybrid_rrf"](spark, SF)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_ccnet_buckets_no_unpartitioned_window_and_broadcast_thresholds(spark):
+    """ccnet_buckets: the cumulative window partitions by lang (over the
+    distinct-value histogram — never an unpartitioned/global sort) and
+    the |langs|-row threshold table joins back via broadcast."""
+    import re
+
+    df = em.queries()["ccnet_buckets"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    assert "SinglePartition" not in plan
+    for m in re.finditer(r"^\(\d+\) Window\b.*\n((?:.+\n)*?)(?=^\(\d+\))", plan, re.M):
+        pb = re.search(r"partitionBy=\[(.*?)\]", m.group(0))
+        if pb is not None:
+            assert pb.group(1).strip() != "", f"unpartitioned window:\n{m.group(0)}"
