@@ -989,6 +989,33 @@ def q_lm_quality(spark, sf):
     return lm_nll_score(docs, bigrams, unigrams, vocab)
 
 
+def q_text_canonical(spark, sf):
+    """Dedup-key text canonicalization (functions/text.py
+    canonicalize_text; the RefinedWeb/MassiveText normalization before
+    exact near-dup keying): lowercase → pinned accent-table fold →
+    strip non-[a-z0-9 ] → collapse spaces → trim, plus the md5 dedup
+    key. Accents/punct/unicode dashes are PLANTED onto the documents
+    in-query (both engines append the same literal) so the gate proves
+    the folding, not just a pass-through. One zero-exchange Catalyst
+    projection."""
+    from post_ocr_corretion_spark.functions.text import canonicalize_text
+
+    planted = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("  CaFÉ,  Noël & naïve — ÜBER!  ")
+            ).alias("_t"),
+        )
+    )
+    canon = canonicalize_text(F.col("_t"))
+    return planted.select(
+        "doc_id", canon.alias("canonical"), F.md5(canon).alias("dedup_key")
+    )
+
+
 def q_ccnet_buckets(spark, sf):
     """CCNet head/middle/tail perplexity bucketing (operators/
     lm_quality.py ccnet_perplexity_buckets; Wenzek et al. 2020): per
@@ -2908,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment_docs": q_bpe_segment_docs,
         "ccnet_buckets": q_ccnet_buckets,
+        "text_canonical": q_text_canonical,
     }
 
 def _bpe_fit_ctes(n_merges: int = 4) -> str:
@@ -5070,6 +5098,22 @@ def oracle_sql() -> dict[str, str]:
           JOIN la USING (doc_id)
           JOIN tsq USING (doc_id)
           LEFT JOIN lm USING (doc_id)
+    """
+    from post_ocr_corretion_spark.functions.text import ACCENT_DST, ACCENT_SRC
+
+    sql["text_canonical"] = f"""
+        WITH planted AS (
+          SELECT doc_id, text || '  CaFÉ,  Noël & naïve — ÜBER!  ' AS t
+          FROM documents WHERE doc_id < 200
+        ),
+        c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                   translate(lower(t), '{ACCENT_SRC}', '{ACCENT_DST}'),
+                   '[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS canonical
+          FROM planted
+        )
+        SELECT doc_id, canonical, md5(canonical) AS dedup_key FROM c
     """
     sql["bpe_merges"] = _bpe_oracle_sql(4)
     sql["bpe_segment_docs"] = _bpe_segment_oracle_sql(4, max_doc=50)

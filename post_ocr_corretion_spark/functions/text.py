@@ -98,3 +98,23 @@ def drop_special_symbols(col: Column, specials: list[str]) -> Column:
     dedups — SURVEY.md §2.2 P13)."""
     lit_specials = F.array(*[F.lit(s) for s in specials])
     return F.filter(col, lambda x: ~F.array_contains(lit_specials, x))
+
+
+# Canonicalization for near-dup keys (RefinedWeb/MassiveText style:
+# lowercase → accent fold → strip non-alphanumerics → collapse
+# whitespace). The accent map is an explicit pinned codepoint table so
+# any engine's translate() replays it — NOT locale-dependent NFKC.
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿñç"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyync"
+
+
+def canonicalize_text(col: Column) -> Column:
+    """Deterministic dedup-key normalization: lowercase, fold the pinned
+    accent table, drop every char outside [a-z0-9 ], collapse runs of
+    spaces, trim. Pure Catalyst (lower/translate/regexp_replace inside
+    one codegen span); DuckDB replays it with the same four calls
+    ('g' flag on the regexes)."""
+    s = F.translate(F.lower(col), ACCENT_SRC, ACCENT_DST)
+    s = F.regexp_replace(s, "[^a-z0-9 ]+", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
