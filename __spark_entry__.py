@@ -989,6 +989,35 @@ def q_lm_quality(spark, sf):
     return lm_nll_score(docs, bigrams, unigrams, vocab)
 
 
+def q_winnow_fingerprints(spark, sf):
+    """Winnowing fingerprints (operators/winnowing.py; Schleimer et al.
+    SIGMOD 2003 — MOSS): per-window min-hash selection with the
+    rightmost-tie rule encoded as one exact 84-bit packed key
+    (h·2^20 + (2^20 − pos)), so both engines argmin with plain min;
+    emitted hashes are recomputed 16-hex md5 prefixes (no 128-bit
+    column crosses the engine boundary). k=8, w=4 over the first 100
+    documents."""
+    from post_ocr_corretion_spark.operators.winnowing import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 100), k=8, w=4
+    )
+
+
+def q_mixture_tokens(spark, sf):
+    """Token-budget temperature sampling (operators/mixture.py
+    mixture_sample_tokens): the mixture law measured in TOKENS — the
+    unit training budgets are written in — with whole-document keep
+    decisions. Same cross-engine contract as the gated mixture_sample
+    (DECIMAL weights, sqrt alpha, md5-uniform), per-source mass =
+    token sums."""
+    from post_ocr_corretion_spark.operators.mixture import mixture_sample_tokens
+
+    return mixture_sample_tokens(
+        _t(spark, sf, "documents"), target_tokens=8000, seed="mixtok"
+    ).select("doc_id", "source", "t_source", "p_keep")
+
+
 def q_text_canonical(spark, sf):
     """Dedup-key text canonicalization (functions/text.py
     canonicalize_text; the RefinedWeb/MassiveText normalization before
@@ -2936,6 +2965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segment_docs": q_bpe_segment_docs,
         "ccnet_buckets": q_ccnet_buckets,
         "text_canonical": q_text_canonical,
+        "mixture_tokens": q_mixture_tokens,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 def _bpe_fit_ctes(n_merges: int = 4) -> str:
@@ -3301,6 +3332,36 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT u.doc_id, u.source, p.n_source, p.p_keep
+            FROM u JOIN p USING (source)
+            WHERE u.u < p.p_keep
+        """,
+        "mixture_tokens": """
+            WITH n AS (
+              SELECT source,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_source
+              FROM documents GROUP BY source
+            ),
+            w AS (
+              SELECT source, t_source,
+                     CAST(round(sqrt(CAST(t_source AS DOUBLE)), 8) AS DECIMAL(18,8)) AS wd
+              FROM n
+            ),
+            t AS (SELECT sum(wd) AS tw FROM w),
+            p AS (
+              SELECT source, t_source,
+                     least(CAST(1.0 AS DOUBLE),
+                           CAST(8000.0 AS DOUBLE)
+                             * (CAST(wd AS DOUBLE) / CAST(tw AS DOUBLE))
+                             / CAST(t_source AS DOUBLE)) AS p_keep
+              FROM w, t
+            ),
+            u AS (
+              SELECT doc_id, source,
+                     CAST(('0x' || substr(md5('mixtok#' || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS DOUBLE)
+                       / 4503599627370496.0 AS u
+              FROM documents
+            )
+            SELECT u.doc_id, u.source, p.t_source, p.p_keep
             FROM u JOIN p USING (source)
             WHERE u.u < p.p_keep
         """,
@@ -5114,6 +5175,30 @@ def oracle_sql() -> dict[str, str]:
           FROM planted
         )
         SELECT doc_id, canonical, md5(canonical) AS dedup_key FROM c
+    """
+    sql["winnow_fingerprints"] = """
+        WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 100 AND len(text) >= 11
+        ),
+        ka AS (
+          SELECT doc_id, text,
+                 list_transform(range(1, len(text) - 6), i ->
+                   ('0x' || substr(md5(substr(text, i, 8)), 1, 16))::UBIGINT::HUGEINT
+                     * 1048576 + (1048576 - i)) AS ks
+          FROM d
+        ),
+        sel AS (
+          SELECT doc_id, text,
+                 list_distinct(list_transform(range(1, len(ks) - 2), p ->
+                   list_min(ks[p : p + 3]))) AS fps
+          FROM ka
+        ),
+        f AS (SELECT doc_id, text, unnest(fps) AS key FROM sel)
+        SELECT doc_id,
+               CAST(1048576 - (key % 1048576) AS INT) AS pos,
+               substr(md5(substr(text, CAST(1048576 - (key % 1048576) AS INT), 8)), 1, 16) AS gram_hash
+        FROM f
     """
     sql["bpe_merges"] = _bpe_oracle_sql(4)
     sql["bpe_segment_docs"] = _bpe_segment_oracle_sql(4, max_doc=50)

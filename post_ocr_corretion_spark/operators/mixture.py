@@ -83,3 +83,57 @@ def mixture_sample(
         .filter(_uniform(seed, id_col) < F.col("p_keep"))
         .select(*docs.columns, "n_source", "p_keep")
     )
+
+
+def mixture_sample_tokens(
+    docs: DataFrame,
+    target_tokens: int,
+    alpha: float = 0.5,
+    seed: str = "mixtok",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget temperature sampling: identical selection law to
+    ``mixture_sample`` but mass is measured in TOKENS — the unit
+    training budgets are actually written in. Source s with t_s total
+    tokens gets weight w_s = t_s^alpha; a doc survives iff its
+    md5-uniform < p_keep(s) = min(1, target_tokens·(w_s/W)/t_s), so
+    E[kept tokens] ≈ target_tokens when no source saturates (each doc
+    keeps or drops WHOLE — the document-integrity invariant of mixture
+    sampling; per-doc token counts only enter through t_s).
+
+    Scale shape unchanged: one map-side aggregate for per-source token
+    sums (the split/size projection never shuffles the text), the
+    |sources|-row weight table broadcast back, keep test a projection.
+    Cross-engine contract identical to mixture_sample (DECIMAL weight
+    rounding, sqrt for alpha=0.5, md5-uniform)."""
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be positive, got {target_tokens}")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w_raw = (
+        F.sqrt(F.col("t_source").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("t_source").cast("double"), F.lit(float(alpha)))
+    )
+    weights = (
+        docs.select(source_col, n_tok.alias("_nt"))
+        .groupBy(source_col)
+        .agg(F.sum("_nt").cast("long").alias("t_source"))
+        .withColumn("_w", F.round(w_raw, 8).cast("decimal(18,8)"))
+    )
+    total = weights.agg(F.sum("_w").alias("_tw"))
+    p_keep = F.least(
+        F.lit(1.0),
+        F.lit(float(target_tokens))
+        * (F.col("_w").cast("double") / F.col("_tw").cast("double"))
+        / F.col("t_source").cast("double"),
+    )
+    probs = weights.join(F.broadcast(total)).select(
+        source_col, "t_source", p_keep.alias("p_keep")
+    )
+    return (
+        docs.join(F.broadcast(probs), source_col)
+        .filter(_uniform(seed, id_col) < F.col("p_keep"))
+        .select(*docs.columns, "t_source", "p_keep")
+    )

@@ -62,3 +62,38 @@ def test_expected_sample_size_tracks_target(spark):
     # binomial around 200 (10 sources x 100 rows, p = 0.2 each):
     # 5 sigma ~ 63 rows
     assert 137 <= kept <= 263
+
+
+def test_token_budget_expectation_and_whole_doc_keep(spark):
+    from pyspark.sql import functions as F
+
+    from post_ocr_corretion_spark.operators.mixture import mixture_sample_tokens
+
+    # two sources: 'big' 200 docs × 10 tokens, 'small' 20 docs × 10 tokens
+    rows = [(i, " ".join(["w"] * 10), "big") for i in range(200)]
+    rows += [(1000 + i, " ".join(["w"] * 10), "small") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixture_sample_tokens(docs, target_tokens=600, seed="tb").collect()
+    # alpha=0.5: w_big=sqrt(2000), w_small=sqrt(200); p_small/p_big =
+    # (w_s/t_s)/(w_b/t_b) = sqrt(t_b/t_s) = sqrt(10) — small is UP-weighted
+    p = {r["source"]: r["p_keep"] for r in out}
+    assert p["small"] / p["big"] == pytest.approx(10 ** 0.5, rel=1e-9)
+    # every kept row is a whole doc with its source's single p_keep
+    assert all(r["t_source"] in (2000, 200) for r in out)
+    # kept token total is near the budget (law of large numbers at n=220)
+    kept_tokens = 10 * len(out)
+    assert 250 < kept_tokens < 1100
+    # deterministic re-run
+    again = mixture_sample_tokens(docs, target_tokens=600, seed="tb").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_token_budget_saturation_clamps_to_one(spark):
+    from post_ocr_corretion_spark.operators.mixture import mixture_sample_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "only") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_sample_tokens(docs, target_tokens=10_000).collect()
+    assert len(out) == 10 and all(r["p_keep"] == 1.0 for r in out)
