@@ -5179,7 +5179,7 @@ def oracle_sql() -> dict[str, str]:
     sql["winnow_fingerprints"] = """
         WITH d AS (
           SELECT doc_id, text FROM documents
-          WHERE doc_id < 100 AND len(text) >= 11
+          WHERE doc_id < 100 AND len(text) >= 11 AND len(text) < 1048576
         ),
         ka AS (
           SELECT doc_id, text,

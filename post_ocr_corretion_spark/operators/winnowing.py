@@ -47,7 +47,10 @@ def winnow_fingerprints(
     its 16-hex md5 prefix (recomputed from pos on output, so the
     emitted hash is a plain string — no 128-bit column crosses an
     engine boundary). Documents shorter than k + w − 1 chars emit no
-    fingerprints (no full window exists)."""
+    fingerprints (no full window exists); documents of ≥ 2^20 chars are
+    EXCLUDED (their positions would overflow the packed key's position
+    field) — pre-split them with the segmentation operators first. The
+    exclusion is an explicit filter, not silent corruption."""
     text = F.col(text_col)
     n = F.length(text) - k + 1  # number of k-grams
     key = lambda i: (
@@ -65,7 +68,9 @@ def winnow_fingerprints(
     )
     pos = (F.lit(POS_BASE) - F.pmod(F.col("_key"), F.lit(POS_BASE))).cast("int")
     return (
-        docs.filter(F.length(text) >= k + w - 1)
+        docs.filter(
+            (F.length(text) >= k + w - 1) & (F.length(text) < POS_BASE)
+        )
         .select(id_col, text.alias("_t"), F.explode(sel).alias("_key"))
         .select(
             id_col,
