@@ -55,15 +55,32 @@ def _bucket(col: Column, n_buckets: int, seed: str) -> Column:
 
 
 def _doc_buckets(
-    docs: DataFrame, n_buckets: int, seed: str, text_col: str, id_col: str
+    docs: DataFrame,
+    n_buckets: int,
+    seed: str,
+    text_col: str,
+    id_col: str,
+    ngram: int = 1,
 ) -> DataFrame:
-    """(id_col, bucket) — one row per non-empty token occurrence (empty
-    strings from consecutive separators are not tokens)."""
-    toks = F.split(F.col(text_col), " ")
-    return (
-        docs.select(id_col, F.explode(toks).alias("_w"))
-        .filter(F.col("_w") != "")
-        .select(id_col, _bucket(F.col("_w"), n_buckets, seed))
+    """(id_col, bucket) — one row per non-empty feature occurrence.
+    ``ngram=1``: tokens (empty strings from consecutive separators are
+    not tokens); ``ngram=2``: adjacent-token bigrams rendered as
+    ``w1_w2`` (the paper's hashed unigram+bigram features = the union
+    of both calls — build two ratio tables or union the bucket frames
+    with distinct seeds)."""
+    if ngram not in (1, 2):
+        raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    if ngram == 1:
+        feats = toks
+    else:
+        feats = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+    return docs.select(id_col, F.explode(feats).alias("_w")).select(
+        id_col, _bucket(F.col("_w"), n_buckets, seed)
     )
 
 
@@ -75,6 +92,7 @@ def dsir_log_ratio(
     seed: str = "dsir",
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """(bucket, log_ratio) for ALL m buckets: the smoothed hashed-unigram
     log-likelihood ratio log p_target(b) − log p_pool(b). Built complete
@@ -83,8 +101,8 @@ def dsir_log_ratio(
     a plain inner join."""
     spark = target.sparkSession
     m = int(n_buckets)
-    tt = _doc_buckets(target, m, seed, text_col, id_col)
-    pt = _doc_buckets(pool, m, seed, text_col, id_col)
+    tt = _doc_buckets(target, m, seed, text_col, id_col, ngram)
+    pt = _doc_buckets(pool, m, seed, text_col, id_col, ngram)
     tc = tt.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("_ct"))
     pc = pt.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("_cp"))
     ttot = tt.agg(F.count(F.lit(1)).cast("long").alias("_tt"))
@@ -123,12 +141,13 @@ def dsir_weights(
     seed: str = "dsir",
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """(id_col, n_tokens, weight) — per-document importance log-weight:
     the exact DECIMAL sum of its tokens' bucket log-ratios (double only
     on output). The m-row ratio table is broadcast; the pool is scanned
     once."""
-    scored = _doc_buckets(pool, int(n_buckets), seed, text_col, id_col).join(
+    scored = _doc_buckets(pool, int(n_buckets), seed, text_col, id_col, ngram).join(
         F.broadcast(log_ratio), "bucket"
     )
     return scored.groupBy(id_col).agg(
@@ -147,14 +166,15 @@ def dsir_select(
     gumbel: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """(id_col, n_tokens, weight, sel_key, rnk) — the k pool documents
     selected by DSIR. With ``gumbel=True`` (the paper's resampling),
     sel_key = log-weight + seeded Gumbel noise — a without-replacement
     sample ∝ exp(log w); with ``gumbel=False`` it is the deterministic
     top-k by weight (sel_key = weight). Ties break by id ascending."""
-    lr = dsir_log_ratio(target, pool, n_buckets, alpha, seed, text_col, id_col)
-    ws = dsir_weights(pool, lr, n_buckets, seed, text_col, id_col)
+    lr = dsir_log_ratio(target, pool, n_buckets, alpha, seed, text_col, id_col, ngram)
+    ws = dsir_weights(pool, lr, n_buckets, seed, text_col, id_col, ngram)
     if gumbel:
         hh = F.md5(
             F.concat(F.lit(seed + "sel"), F.lit("#"), F.col(id_col).cast("string"))

@@ -83,3 +83,33 @@ def test_gumbel_selection_reproducible_and_seed_sensitive(spark):
     c = {r["doc_id"]: r["sel_key"] for r in dsir_select(target, pool, k=4, n_buckets=M, seed="other").collect()}
     a_keys = {r["doc_id"]: r["sel_key"] for r in dsir_select(target, pool, k=4, n_buckets=M, seed="dsir").collect()}
     assert any(c.get(d) != a_keys.get(d) for d in a_keys)
+
+
+def test_bigram_features_distinguish_word_order(spark):
+    # same unigram bag, different order: unigram DSIR can't tell them
+    # apart; bigram DSIR must prefer the doc with target-like ORDER
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta alpha beta")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(0, "alpha beta alpha beta"), (1, "beta alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["weight"] for r in dsir_select(
+        target, pool, k=2, n_buckets=M, gumbel=False, ngram=1).collect()}
+    bi = {r["doc_id"]: r["weight"] for r in dsir_select(
+        target, pool, k=2, n_buckets=M, gumbel=False, ngram=2).collect()}
+    assert uni[0] == uni[1]  # order-blind
+    assert bi[0] > bi[1]  # 'alpha beta' bigrams dominate the target
+
+
+def test_bigram_single_token_docs_have_no_features(spark):
+    from post_ocr_corretion_spark.operators.dsir import dsir_log_ratio, dsir_weights
+
+    target = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    pool = spark.createDataFrame(
+        [(0, "solo"), (1, "two words")], "doc_id long, text string"
+    )
+    lr = dsir_log_ratio(target, pool, n_buckets=M, ngram=2)
+    ws = dsir_weights(pool, lr, n_buckets=M, ngram=2).collect()
+    assert [r["doc_id"] for r in ws] == [1]  # doc 0 emits zero bigrams
