@@ -237,19 +237,36 @@ def q_j7_region_nation_cross(spark, sf):
 
 
 def q_j3_band_join(spark, sf):
-    e = _t(spark, sf, "events").select("event_id", "ts", "user_id", "event_type")
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") >= F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 120 SECONDS"))
-        & (F.col("e1.event_id") != F.col("e2.event_id"))
+    """Band self-join expressed as a RANGE-frame window (r9 optimization,
+    guide §2.4): for each event e1, the number of same-user events in
+    [e1.ts, e1.ts+120s] equals a per-row window count minus 1 (the row
+    itself — event_id is unique, so ``e1.event_id != e2.event_id``
+    excludes exactly the self-pairing), summed per event_type. This
+    removes the self-join entirely — the old plan materialized every
+    (e1, e2) pair through a hash join probe (O(n·band) joined rows);
+    the window plan is one exchange on user_id + one sorted pass.
+    Null-key rows are dropped up front (an inner join on user_id/ts/
+    event_id never matched them), and event_types with zero pairs are
+    filtered (they produced no group in the join form). Result-identical
+    — proven against the unchanged pair-join oracle."""
+    e = (
+        _t(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+    )
+    in_band = F.expr(
+        "count(1) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN CURRENT ROW AND INTERVAL 120 SECONDS FOLLOWING)"
     )
     return (
-        e1.join(e2, cond)
-        .groupBy(F.col("e1.event_type").alias("event_type"))
-        .agg(F.count(F.lit(1)).alias("pairs"))
+        e.select("event_type", (in_band - F.lit(1)).alias("pairs_i"))
+        .groupBy("event_type")
+        .agg(F.sum("pairs_i").alias("pairs"))
+        .filter(F.col("pairs") > 0)
     )
 
 
@@ -266,10 +283,16 @@ def q_a5_line_share(spark, sf):
 
 def q_a6_cumulative_share(spark, sf):
     li = _t(spark, sf, "lineitem").withColumn("p", F.col("l_extendedprice").cast("decimal(18,4)"))
-    w_all = W.partitionBy("l_orderkey")
     # RANGE frame (the default with ORDER BY): peers share the cumulative,
     # so duplicate l_linenumber values cannot make the result order-dependent
     w_cum = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # The partition total uses the SAME (partition, order) spec with an
+    # unbounded ROWS frame, so both sums land in ONE Window node (one pass
+    # over each partition) instead of two chained Window operators — the
+    # r9 optimization (guide §2.4: same-keyed window ops share the work).
+    # Decimal sums are order-exact, so the value is identical to the old
+    # orderless-window total.
+    w_all = w_cum.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -26,22 +26,32 @@ from ..functions.text import bucket_key, clean_text, remove_punctuation, words_o
 def corpus_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """A2 (correctionSentences.py:35-41): clean (P2) → split on single
     space → strip trailing punct (P6) → lower → drop empties → distinct.
-    Column: word."""
+    Column: word.
+
+    The empty filter runs on the RAW token, before the P6 regex: the
+    strip can never empty a non-empty token (``(.+)`` captures ≥1 char
+    per match) and lower() preserves length, so ``length(w) > 0`` keeps
+    exactly the same rows as ``length(word) > 0`` — but a post-projection
+    filter gets predicate-pushed below the Project by Catalyst, which
+    DUPLICATES the P6 regexp per token (one eval in the filter, one in
+    the projection; guide §4.4 shape). Filtering first halves the regex
+    work (r9 optimization)."""
     return (
         docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
         .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
-        .filter(F.length("word") > 0)
         .distinct()
     )
 
 
 def corpus_word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """A2 with counts — unigram frequencies feeding the Viterbi segmenter
-    (operators/segmenter_ops.py). Columns: word, freq."""
+    (operators/segmenter_ops.py). Columns: word, freq. Same raw-token
+    empty filter as corpus_words (regex evaluated once per token)."""
     return (
         docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
         .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
-        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

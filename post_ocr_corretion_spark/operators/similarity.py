@@ -38,11 +38,28 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:
-    """queries (qid, qv) × corpus (vec_id, v) → top-k by (cos desc, id)."""
+    """queries (qid, qv) × corpus (vec_id, v) → top-k by (cos desc, id).
+
+    Norms are hoisted BELOW the cross join (r9 optimization, guide §2.3
+    "don't compute things you throw away"): ``cosine()`` inline would
+    re-evaluate sqrt(dot(v,v)) once per (query, vector) pair and
+    sqrt(dot(qv,qv)) once per corpus row — 3 full O(dim) reductions per
+    pair. Projected onto each side first, the broadcast relation carries
+    each corpus norm computed once and each pair pays ONE dot product.
+    Same expression tree per value (double arithmetic is deterministic),
+    so every cos is bit-identical to the inline form."""
+    q = queries.withColumn("_nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    e = emb.withColumn("_nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
     scored = (
-        queries.crossJoin(emb)
+        q.crossJoin(e)
         .filter(F.col("qid") != F.col(id_col))
-        .select("qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                dot(F.col("qv"), F.col(vec_col)) / (F.col("_nq") * F.col("_nv")), 4
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
