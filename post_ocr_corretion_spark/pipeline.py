@@ -181,6 +181,99 @@ def run_pipeline(
     )
 
 
+def _render_extract_correct(
+    docs: DataFrame,
+    scorer_bc,
+    lexicon_bc,
+    max_distance: int = 1,
+    roulette_seed: int | None = None,
+) -> DataFrame:
+    """ONE Arrow-batched stage running the whole per-doc lifecycle:
+    synthetic render → extraction → (enabled ? beam-correct :
+    deterministic pass-through). Exactly the composition of
+    ``render_and_extract`` + ``run_beam_udf`` (same core functions, same
+    per-worker memoization), minus the intermediate Arrow round trip and
+    the columns the pipeline output never uses (html_bytes,
+    correct_enabled). Columnar batch assembly (dict-of-lists, not
+    row dicts) keeps the pandas→Arrow conversion cheap."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .core.beam import correct_sentence, roulette_rng
+    from .core.extraction import extract_document
+    from .datagen.webpages import make_page
+    from .operators.correction import _worker_fns
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("extracted_text", T.StringType(), False),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("start", T.LongType(), False),
+                            T.StructField("end", T.LongType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+            T.StructField("corrected_words", T.ArrayType(T.StringType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        scorer = scorer_bc.value
+        lexicon = lexicon_bc.value
+        prob_fn, cand_fn = _worker_fns(scorer, lexicon, max_distance)
+        for pdf in batches:
+            urls, tss, langs, ids, kinds, texts, spans, corrs = [], [], [], [], [], [], [], []
+            for r in pdf.itertuples():
+                page = make_page(int(r.doc_id), r.text, r.lang)
+                text, sp, kind = extract_document(page["html"])
+                if page["lang"] == "en" and kind != "pdf_stub":
+                    corr = correct_sentence(
+                        text,
+                        scorer,
+                        lexicon,
+                        prob_fn=prob_fn,
+                        cand_fn=cand_fn,
+                        rng=None if roulette_seed is None else roulette_rng(roulette_seed, text),
+                    )
+                else:
+                    corr = text.split()
+                urls.append(page["url"])
+                tss.append(page["warc_ts"])
+                langs.append(page["lang"])
+                ids.append(int(r.doc_id))
+                kinds.append(kind)
+                texts.append(text)
+                spans.append([{"start": s, "end": e} for s, e in sp])
+                corrs.append(corr)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "warc_ts": tss,
+                    "lang": langs,
+                    "doc_id": ids,
+                    "kind": kinds,
+                    "extracted_text": texts,
+                    "spans": spans,
+                    "corrected_words": corrs,
+                }
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(run, schema)
+
+
 def run_pipeline_from_docs(
     spark: SparkSession,
     docs: DataFrame,
@@ -223,22 +316,35 @@ def run_pipeline_from_docs(
     lexicon_df = build_lexicon(
         spark, lexicon_docs if lexicon_docs is not None else docs,
         COMMON_WORDS, bucketed=(mode == "catalyst"),
-    ).cache()
+    )
+    if mode == "catalyst" or fit == "spark-agg":
+        # only these paths traverse the lexicon frame more than once
+        # (deletion neighborhood / candidate joins; bigram counts +
+        # sidecar). The default udf path consumes it exactly once — the
+        # sidecar write — so caching it there only added a memory-store
+        # materialization to the timed run (guide §5: cache only on
+        # reuse). r9 optimization; results unaffected.
+        lexicon_df = lexicon_df.cache()
     scorer_bc, lex_words = build_scorer_broadcast(
         spark, lexicon_df, fit=fit, sidecar_path=sidecar_path, bloom_threshold=bloom_threshold
     )
     enabled = (F.col("lang") == "en") & (F.col("kind") != "pdf_stub")
 
     if mode == "udf":
-        # throughput path: fused render+extract stage, then one beam stage
-        # with in-UDF pass-through — two Python stages total, no recompute.
-        extracted = render_and_extract(docs)
+        # throughput path (r9): render+extract+correct fused into ONE
+        # Arrow-batched stage — the old two-stage form shipped every
+        # intermediate column (extracted_text, the spans struct array,
+        # html_bytes, …) JVM→Python→JVM→Python between extraction and
+        # correction; since both ends are per-row pure functions over the
+        # same row, fusing removes that entire Arrow round trip (guide
+        # §4.1: you control how many columns cross the boundary). Output
+        # is byte-identical to render_and_extract + run_beam_udf — the
+        # parity suite asserts it.
         lexicon_bc = spark.sparkContext.broadcast(lex_words)
-        corrected = run_beam_udf(
-            extracted.withColumn("correct_enabled", enabled),
+        corrected = _render_extract_correct(
+            docs,
             scorer_bc,
             lexicon_bc,
-            enabled_col="correct_enabled",
             max_distance=max_distance,
             roulette_seed=roulette_seed,
         )

@@ -27,9 +27,17 @@ def test_revenue_join_is_broadcast_and_pruned(spark):
     assert any("IsNotNull" in f for f in pushed_filters(df))
 
 
-def test_band_join_broadcasts(spark):
-    df = em.queries()["j3_band_join"](spark, SF)
-    assert "BroadcastHashJoin" in join_strategies(df)
+def test_band_join_is_join_free_window(spark):
+    """r9: the band self-join is re-expressed as a RANGE-frame window
+    count — the plan must contain a Window over the events scan and NO
+    join at all (the old BroadcastHashJoin materialized every in-band
+    pair before aggregating)."""
+    from post_ocr_corretion_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(em.queries()["j3_band_join"](spark, SF))
+    assert "Window" in plan
+    for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan
 
 
 def test_textstats_prunes_to_consumed_columns(spark):
@@ -38,16 +46,19 @@ def test_textstats_prunes_to_consumed_columns(spark):
 
 
 def test_flagship_udf_mode_shape(spark):
-    """The throughput path is exactly two Python stages and one exchange
-    (PLANS.md shuffle inventory) — a regression that splits a stage or
-    adds a shuffle fails here, not in a benchmark."""
+    """The throughput path is exactly ONE Python stage and one exchange
+    (r9: render+extract+correct fused into a single mapInPandas — the
+    old two-stage form paid a full Arrow round trip of every
+    intermediate column between extraction and correction) — a
+    regression that splits the stage or adds a shuffle fails here, not
+    in a benchmark."""
     import re
 
     from post_ocr_corretion_spark.pipeline import run_pipeline
     from post_ocr_corretion_spark.plans.audit import formatted_plan
 
     plan = formatted_plan(run_pipeline(spark, "/root/testdata/sf0.001"))
-    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
 
 
