@@ -756,9 +756,18 @@ def q_pq_ann_topk(spark, sf):
 
     emb = _emb(spark, sf)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    embn = emb.select(
+    # r9: filter on the RAW norm before the normalizing projection —
+    # the post-projection filter resolved against the normalized array
+    # and pushdown inlined the whole transform chain into the scan
+    # filter (same row set: norm(v) > 0 iff norm(v/norm(v)) > 0)
+    # ...and MATERIALIZE the normalized corpus once (localCheckpoint):
+    # every downstream job (fit iterations, encode, ADC, re-rank) would
+    # otherwise re-evaluate the interpreted normalize chain — with no
+    # CSE, each of the m per-subspace slices re-runs it, an O(m·d²)
+    # per-row cost per job (r9; values unchanged)
+    embn = emb.filter(norm > 0).select(
         "vec_id", F.transform("v", lambda x: x / norm).alias("v")
-    ).filter(norm > 0)
+    ).localCheckpoint(eager=True)
     qn = embn.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -796,9 +805,18 @@ def q_ivfpq_ann_topk(spark, sf):
 
     emb = _emb(spark, sf)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    embn = emb.select(
+    # r9: filter on the RAW norm before the normalizing projection —
+    # the post-projection filter resolved against the normalized array
+    # and pushdown inlined the whole transform chain into the scan
+    # filter (same row set: norm(v) > 0 iff norm(v/norm(v)) > 0)
+    # ...and MATERIALIZE the normalized corpus once (localCheckpoint):
+    # every downstream job (fit iterations, encode, ADC, re-rank) would
+    # otherwise re-evaluate the interpreted normalize chain — with no
+    # CSE, each of the m per-subspace slices re-runs it, an O(m·d²)
+    # per-row cost per job (r9; values unchanged)
+    embn = emb.filter(norm > 0).select(
         "vec_id", F.transform("v", lambda x: x / norm).alias("v")
-    ).filter(norm > 0)
+    ).localCheckpoint(eager=True)
     qn = embn.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -838,9 +856,18 @@ def q_opq_ann_topk(spark, sf):
         "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("v")
     )
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    embn = base.select(
+    # r9: filter on the RAW norm before the normalizing projection —
+    # the post-projection filter resolved against the normalized array
+    # and pushdown inlined the whole transform chain into the scan
+    # filter (same row set: norm(v) > 0 iff norm(v/norm(v)) > 0)
+    # ...and MATERIALIZE the normalized corpus once (localCheckpoint):
+    # every downstream job (fit iterations, encode, ADC, re-rank) would
+    # otherwise re-evaluate the interpreted normalize chain — with no
+    # CSE, each of the m per-subspace slices re-runs it, an O(m·d²)
+    # per-row cost per job (r9; values unchanged)
+    embn = base.filter(norm > 0).select(
         "vec_id", F.transform("v", lambda x: x / norm).alias("v")
-    ).filter(norm > 0)
+    ).localCheckpoint(eager=True)
     qn = embn.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
@@ -2743,9 +2770,18 @@ def q_lopq_ann_topk(spark, sf):
 
     emb = _emb(spark, sf)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
-    embn = emb.select(
+    # r9: filter on the RAW norm before the normalizing projection —
+    # the post-projection filter resolved against the normalized array
+    # and pushdown inlined the whole transform chain into the scan
+    # filter (same row set: norm(v) > 0 iff norm(v/norm(v)) > 0)
+    # ...and MATERIALIZE the normalized corpus once (localCheckpoint):
+    # every downstream job (fit iterations, encode, ADC, re-rank) would
+    # otherwise re-evaluate the interpreted normalize chain — with no
+    # CSE, each of the m per-subspace slices re-runs it, an O(m·d²)
+    # per-row cost per job (r9; values unchanged)
+    embn = emb.filter(norm > 0).select(
         "vec_id", F.transform("v", lambda x: x / norm).alias("v")
-    ).filter(norm > 0)
+    ).localCheckpoint(eager=True)
     qn = embn.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )

@@ -128,12 +128,30 @@ def lopq_fit(
         for _ in range(pq_iters):
             lists = F.broadcast(_lists_df(spark, Rs, cbs))
             y = _rotate_col(F.col("r"), F.col("rt"))
-            rotated = coded.join(lists, "list_id").select(
-                "list_id", y.alias("_y"), _codes_col(y, F.col("cb"), m, sub_d).alias("_codes")
+            # r9: STAGED generator materialization (see pq_fit). Stage 1
+            # evaluates the O(d²) rotation exactly once per row (inside a
+            # generator, so nothing can collapse above it); stage 2
+            # computes the code argmins from the now-plain _y attribute —
+            # the single-stage form re-ran the rotation once per subspace
+            # slice (m+1 × d² per row) and the codes once per exploded
+            # dim. Bit-identical stats (same values, same row order).
+            staged = coded.join(lists, "list_id").select(
+                "list_id", "cb", F.explode(F.array(y)).alias("_y")
+            )
+            rotated = staged.select(
+                "list_id",
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("_y").alias("y"),
+                            _codes_col(F.col("_y"), F.col("cb"), m, sub_d).alias("codes"),
+                        )
+                    )
+                ).alias("p"),
             )
             stats = (
                 rotated.select(
-                    "list_id", "_codes", F.posexplode("_y").alias("pos", "x")
+                    "list_id", F.col("p.codes").alias("_codes"), F.posexplode("p.y").alias("pos", "x")
                 )
                 .select(
                     "list_id",
@@ -162,12 +180,34 @@ def lopq_fit(
         """R_l ← U·Vᵀ from svd(X_lᵀ·Y_hat_l), all lists in one scan."""
         lists = F.broadcast(_lists_df(spark, Rs, cbs))
         y = _rotate_col(F.col("r"), F.col("rt"))
-        codes = _codes_col(y, F.col("cb"), m, sub_d)
-        recon = coded.join(lists, "list_id").select(
-            "list_id", "r", _recon_col(codes, F.col("cb"), m).alias("_yh")
+        # r9: three staged generators (see refit_codebooks): rotation
+        # once per row, then code argmins once per row from the plain _y
+        # attribute, then the reconstruction once per row from the plain
+        # _codes attribute — the single-projection form re-ran the
+        # rotation m+1×, the argmins m× (inside _recon_col), and the
+        # reconstruction d²× (per exploded (i,j) pair). Bit-identical.
+        staged_y = coded.join(lists, "list_id").select(
+            "list_id", "cb", "r", F.explode(F.array(y)).alias("_y")
+        )
+        staged_c = staged_y.select(
+            "list_id",
+            "cb",
+            "r",
+            F.explode(F.array(_codes_col(F.col("_y"), F.col("cb"), m, sub_d))).alias("_codes"),
+        )
+        recon = staged_c.select(
+            "list_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("r").alias("x"),
+                        _recon_col(F.col("_codes"), F.col("cb"), m).alias("yh"),
+                    )
+                )
+            ).alias("p"),
         )
         cross = (
-            recon.select("list_id", F.posexplode("r").alias("i", "xi"), "_yh")
+            recon.select("list_id", F.posexplode("p.x").alias("i", "xi"), F.col("p.yh").alias("_yh"))
             .select("list_id", "i", "xi", F.posexplode("_yh").alias("j", "yj"))
             .groupBy("list_id", "i", "j")
             .agg(F.sum(F.col("xi") * F.col("yj")).alias("c"))
@@ -205,8 +245,15 @@ def lopq_encode(
     coded = _assign_and_residual(emb, centroids, [id_col, vec_col], vec_col)
     lists = F.broadcast(_lists_df(spark, Rs, cbs))
     y = _rotate_col(F.col("r"), F.col("rt"))
-    return coded.join(lists, "list_id").select(
-        id_col, "list_id", _codes_col(y, F.col("cb"), m, sub_d).alias("codes")
+    # r9: rotate once per row inside a generator, then take the code
+    # argmins from the plain _y attribute — _codes_col's m subspace
+    # slices would otherwise each re-evaluate the O(d²) rotation (no
+    # CSE in interpreted HOFs). Bit-identical codes.
+    staged = coded.join(lists, "list_id").select(
+        id_col, "list_id", "cb", F.explode(F.array(y)).alias("_y")
+    )
+    return staged.select(
+        id_col, "list_id", _codes_col(F.col("_y"), F.col("cb"), m, sub_d).alias("codes")
     )
 
 

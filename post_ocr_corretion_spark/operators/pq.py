@@ -62,6 +62,23 @@ def _argmin_code(vec_col: Column, cb_s: list[list[float]], s: int, sub_d: int) -
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _argmin_code_col(vec_col: Column, cb_s_col: Column, s: int, sub_d: int) -> Column:
+    """_argmin_code over a codebook COLUMN (array<array<double>>) instead
+    of literals — identical math, but the generated code contains no
+    codebook constants, so re-planning with updated codebooks (the fit
+    loop) reuses the compiled source instead of recompiling it."""
+    sub = _sub(vec_col, s, sub_d)
+    dists = F.transform(
+        cb_s_col,
+        lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def pq_fit(
     emb: DataFrame,
     m: int = 8,
@@ -78,6 +95,14 @@ def pq_fit(
     Each iteration is one full pass over ``emb`` — persist/cache the
     input DataFrame before a multi-iteration fit on a large corpus so
     the scan (and any upstream normalization) is paid once."""
+    # r9: materialize the (projected) fit input once — callers hand in
+    # expression-defined frames (normalized embeddings, IVF residuals)
+    # whose interpreted HOF chains would otherwise be re-evaluated, with
+    # no CSE, by every one of the iters+2 jobs below (see
+    # kmeans_centroids_distributed for the O(d²)-per-reference blowup).
+    # Values unchanged; ~rows×d doubles of executor storage for the
+    # duration of the fit.
+    emb = emb.select(vec_col).localCheckpoint(eager=True)
     first = emb.select(vec_col).first()
     if first is None:
         raise ValueError("pq_fit: empty input")
@@ -92,15 +117,37 @@ def pq_fit(
         [[float(x) for x in r[vec_col][s * sub_d : (s + 1) * sub_d]] for r in init]
         for s in range(m)
     ]
+    spark = emb.sparkSession
+    # r9 optimization, two parts (guide §1.2 step 2 / §7.3):
+    # 1. the codebook enters each iteration as a BROADCAST ONE-ROW
+    #    RELATION, not as plan literals, and the assignment expression is
+    #    built once outside the loop — the literal form re-built and
+    #    re-analyzed/compiled a m·ksub·sub_d-constant tree per iteration
+    #    (~11 s/iteration of pure compile measured at m=16/ksub=16);
+    # 2. the m per-subspace argmins are evaluated INSIDE a generator
+    #    (posexplode of the assignment array), which Spark evaluates
+    #    exactly once per input row. The old shape computed the array in
+    #    a projection that the optimizer collapsed ABOVE the per-dim
+    #    posexplode, re-evaluating all m argmins for every one of the d
+    #    exploded elements — a d× blowup of the dominant HOF work
+    #    (~30 s/iteration measured). The per-dim explode now runs on the
+    #    (s, cl) rows where the argmin is already a plain int.
+    # Row order per vector is unchanged (s-major, sp within), so the
+    # per-group float sums are bit-identical to the old plan's.
+    assigns = F.array(
+        *[_argmin_code_col(F.col(vec_col), F.element_at(F.col("_cb"), s + 1), s, sub_d) for s in range(m)]
+    )
     for _ in range(iters):
-        assigns = F.array(*[_argmin_code(F.col(vec_col), cb[s], s, sub_d) for s in range(m)])
+        cb_df = spark.createDataFrame([(cb,)], "_cb: array<array<array<double>>>")
+        work = emb.crossJoin(F.broadcast(cb_df))
         stats = (
-            emb.select(assigns.alias("_a"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            work.select(F.posexplode(assigns).alias("s", "cl"), F.col(vec_col).alias("_v"))
             .select(
-                (F.col("pos") / sub_d).cast("int").alias("s"),
-                F.element_at("_a", (F.col("pos") / sub_d).cast("int") + 1).alias("cl"),
-                (F.col("pos") % sub_d).alias("sp"),
-                "x",
+                "s",
+                "cl",
+                F.posexplode(F.slice(F.col("_v"), F.col("s") * sub_d + 1, F.lit(sub_d))).alias(
+                    "sp", "x"
+                ),
             )
             .groupBy("s", "cl", "sp")
             .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
@@ -424,7 +471,16 @@ def opq_fit(
     for _ in range(opq_iters):
         xr = rotate_vectors(emb, R, vec_col, "_xr")
         cb = pq_fit(xr, m=m, ksub=ksub, iters=pq_iters, vec_col="_xr")
-        recon = xr.withColumn("_yh", _pq_reconstruction(cb, "_xr"))
+        # r9: materialize (v, x·R, ŷ) once per alternation — the double
+        # posexplode below otherwise re-evaluates the rotation and the
+        # whole PQ reconstruction expression for every exploded (i, j)
+        # element (projection collapse above Generate; no CSE in
+        # interpreted HOFs — see pq_fit). Values unchanged.
+        recon = (
+            xr.withColumn("_yh", _pq_reconstruction(cb, "_xr"))
+            .select(vec_col, "_yh")
+            .localCheckpoint(eager=True)
+        )
         s1 = recon.select(F.posexplode(F.col(vec_col)).alias("i", "xi"), "_yh")
         s2 = s1.select("i", "xi", F.posexplode("_yh").alias("j", "yj"))
         cross = (

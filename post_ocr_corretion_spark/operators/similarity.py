@@ -184,19 +184,58 @@ def kmeans_centroids_distributed(
     deterministic hash-ordered first k; updates are deterministic up to
     float-sum order across partitions (assignments can flip only on
     exact cosine ties)."""
+    # r9: filter on the RAW vector's norm BEFORE the normalizing
+    # projection. The old post-projection filter resolved against the
+    # normalized array, so predicate pushdown inlined the whole
+    # transform-divide expression into the scan filter three times
+    # (null/size/value checks); filtering first keeps the scan filter a
+    # single cheap reduction. Row set and emitted values are identical
+    # (norm(v) > 0 ⟺ norm(v/norm(v)) > 0; NaN/0 rows fail both).
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
-    emb_n = emb.select(
-        F.transform(F.col(vec_col), lambda x: x / norm).alias("vn")
-    ).filter(norm > 0)
+    # r9: MATERIALIZE the normalized vectors once before the iteration
+    # loop (guide §3.3 "materialising an intermediate truncates the
+    # plan"; §5 localCheckpoint). Interpreted HOF expressions have no
+    # common-subexpression elimination, so when a caller hands in an
+    # expression-defined frame (e.g. an already-normalized projection)
+    # every per-element lambda re-evaluates the whole upstream chain —
+    # O(d²) per row per reference, re-paid by every one of the
+    # iters+2 jobs below. After the checkpoint each job reads plain
+    # arrays. Values are unchanged — only where they are computed.
+    emb_n = (
+        emb.filter(norm > 0)
+        .select(F.transform(F.col(vec_col), lambda x: x / norm).alias("vn"))
+        .localCheckpoint(eager=True)
+    )
     init = (
         emb_n.orderBy(F.xxhash64(F.col("vn").cast("string"))).limit(k).collect()
     )
     C = [[float(x) for x in r.vn] for r in init]
+    spark = emb.sparkSession
+    # r9: centroids ride a broadcast one-row relation instead of plan
+    # literals, the scoring expression is built ONCE outside the loop
+    # (the literal form re-built and re-analyzed a k·d-constant tree
+    # every Lloyd's iteration — guide §7.3), and the argmax itself runs
+    # INSIDE a generator so it is evaluated once per vector, not once
+    # per exploded dimension (see pq_fit for the measured d× blowup).
+    # Same floats through the same expression shapes → bit-identical
+    # centroids.
+    norm_vn = F.sqrt(F.aggregate(F.col("vn"), F.lit(0.0), lambda a, x: a + x * x))
+    scores = F.transform(
+        F.col("_cents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("vn"), c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / norm_vn,
+    )
+    best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     for _ in range(iters):
-        scores = _centroid_scores(F.col("vn"), C)
-        best = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        cdf = spark.createDataFrame([(C,)], "_cents: array<array<double>>")
         stats = (
-            emb_n.select(best.alias("list_id"), F.posexplode("vn").alias("pos", "x"))
+            emb_n.crossJoin(F.broadcast(cdf))
+            .select(F.explode(F.array(best)).alias("list_id"), F.col("vn").alias("_v"))
+            .select("list_id", F.posexplode("_v").alias("pos", "x"))
             .groupBy("list_id", "pos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
