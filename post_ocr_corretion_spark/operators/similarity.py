@@ -130,12 +130,28 @@ def lsh_near_dup_pairs(
         .select(F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("da"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("db"), F.col(vec_col).alias("_vb"))
+    # r9: norms computed once per joined vector, not re-reduced per pair
+    # inside cosine() (same hoisting as brute_force_topk; bit-identical)
+    va = emb.select(
+        F.col(id_col).alias("da"),
+        F.col(vec_col).alias("_va"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("db"),
+        F.col(vec_col).alias("_vb"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+    )
     return (
         cand.join(va, "da")
         .join(vb, "db")
-        .select("da", "db", F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("cos"))
+        .select(
+            "da",
+            "db",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )
 
@@ -323,14 +339,27 @@ def cosine_near_dup_pairs(
     emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "v"
 ) -> DataFrame:
     """Exact O(N²) near-dup baseline (the oracle for the LSH path's
-    recall measurement)."""
-    a, b = emb.alias("a"), emb.alias("b")
+    recall measurement).
+
+    r9: per-vector norms are hoisted BELOW the self-join (the
+    brute_force_topk fix): inline ``cosine()`` re-evaluated both
+    sqrt(dot(x,x)) reductions once per PAIR — 3 O(dim) interpreted HOF
+    reductions per pair instead of 1 (73.8 s → the dot alone at sf0.1).
+    Same expression tree per value → bit-identical cos."""
+    withn = emb.select(
+        id_col, vec_col, F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n")
+    )
+    a, b = withn.alias("a"), withn.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("da"),
             F.col(f"b.{id_col}").alias("db"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cos"),
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                4,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
