@@ -70,9 +70,19 @@ def build_lexicon(
     the Catalyst candidate equi-joins; the UDF-mode pipeline just writes
     the word column to the scorer sidecar."""
     base = spark.createDataFrame([(w,) for w in sorted(set(base_words))], "word string")
+    # r9: ONE distinct over the raw token stream ∪ base words — the old
+    # corpus_words(docs).union(base).distinct() aggregated twice (an
+    # extra exchange + stage chain over the vocabulary for the same set:
+    # distinct(distinct(A) ∪ B) = distinct(A ∪ B)). Wall-neutral at the
+    # bench scale factors (the token-side aggregation dominates) but one
+    # fewer shuffle of the vocabulary at any scale; result identical.
+    tokens = (
+        docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
+        .filter(F.length("w") > 0)
+        .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
+    )
     out = (
-        corpus_words(docs, text_col)
-        .union(base)
+        tokens.union(base)
         .distinct()
         .withColumn("bucket", bucket_key(F.col("word")))
     )
