@@ -41,6 +41,13 @@ def pagerank_exact(edges: DataFrame, iters: int = 3, checkpoint_every: int = 8) 
     multiply (pass a distinct frame for simple-graph semantics)."""
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    # r9: materialize the edge list once — every message-passing round
+    # (and the node/outdegree frames) references ``edges``, and without
+    # the checkpoint each reference re-executed the caller's whole
+    # edge-derivation chain (events scan + distinct) inside every round's
+    # plan (guide §5: cache on reuse). Exact integer arithmetic —
+    # bit-identical ranks.
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
