@@ -60,18 +60,28 @@ def winnow_fingerprints(
         + (F.lit(POS_BASE) - i)
     )
     keys = F.transform(F.sequence(F.lit(1), n), key)
+    # r9: the key array is MATERIALIZED once per document inside a
+    # generator (explode of a one-element array) before the window
+    # sweep. Referencing the ``keys`` expression inside the per-window
+    # lambda re-evaluated the whole O(n) md5+DECIMAL key transform per
+    # window (interpreted HOFs have no CSE) — O(n²·md5) per doc instead
+    # of the documented O(n·w) argmin sweep (measured 180× at sf0.1).
+    # The sweep below reads the plain ``_keys`` attribute. Same values,
+    # same selection, bit-identical fingerprints.
+    pos = (F.lit(POS_BASE) - F.pmod(F.col("_key"), F.lit(POS_BASE))).cast("int")
+    n_keys = F.size(F.col("_keys"))
     sel = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), n - w + 1),
-            lambda p: F.array_min(F.slice(keys, p, w)),
+            F.sequence(F.lit(1), n_keys - w + 1),
+            lambda p: F.array_min(F.slice(F.col("_keys"), p, w)),
         )
     )
-    pos = (F.lit(POS_BASE) - F.pmod(F.col("_key"), F.lit(POS_BASE))).cast("int")
     return (
         docs.filter(
             (F.length(text) >= k + w - 1) & (F.length(text) < POS_BASE)
         )
-        .select(id_col, text.alias("_t"), F.explode(sel).alias("_key"))
+        .select(id_col, text.alias("_t"), F.explode(F.array(keys)).alias("_keys"))
+        .select(id_col, "_t", F.explode(sel).alias("_key"))
         .select(
             id_col,
             pos.alias("pos"),
