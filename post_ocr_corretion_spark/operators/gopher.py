@@ -43,12 +43,18 @@ def _ngram_stats(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFra
     """(id_col, top{n}, tot{n}, dup{n}): max gram count, total gram
     occurrences, and occurrences beyond first per gram, per document."""
     toks = F.split(F.col(text_col), " ")
+    # r9: the token array is materialized once per doc inside a
+    # generator — referencing the split EXPRESSION inside the per-window
+    # lambda re-ran the split for every gram window (no CSE in
+    # interpreted HOFs; the winnowing O(n²) fix). Same grams.
+    tks = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.size(tks) - n),
+        lambda i: F.concat_ws(" ", F.slice(tks, i + 1, n)),
     )
     per_gram = (
         docs.filter(F.size(toks) >= n)
+        .select(id_col, F.explode(F.array(toks)).alias("_toks"))
         .select(id_col, F.explode(grams).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -120,7 +126,11 @@ def gopher_dup_ngrams(
     Ratios are exact-integer numerators/denominators divided once in
     DOUBLE — DuckDB replays them bit-for-bit."""
     toks = F.split(F.col(text_col), " ")
-    nt = F.size(toks)
+    # r9: tokens staged through a generator once per doc (see
+    # _ngram_stats) — the six gram_for widths each re-ran the split per
+    # window otherwise. Same (n, gram) entries.
+    tks = F.col("_toks")
+    nt = F.size(tks)
     entry_t = "array<struct<n:int,gram:string>>"
 
     def grams_for(n: int) -> F.Column:
@@ -130,14 +140,15 @@ def gopher_dup_ngrams(
                 F.sequence(F.lit(0), nt - n),
                 lambda i: F.struct(
                     F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+                    F.concat_ws(" ", F.slice(tks, i + 1, n)).alias("gram"),
                 ),
             ),
         ).otherwise(F.array().cast(entry_t))
 
     base = docs.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
     per_gram = (
-        docs.select(
+        docs.select(id_col, F.explode(F.array(toks)).alias("_toks"))
+        .select(
             id_col,
             F.explode(F.concat(*[grams_for(n) for n in range(5, 11)])).alias("_e"),
         )

@@ -26,15 +26,20 @@ from pyspark.sql import functions as F
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = F.split(F.col(text_col), " ")
+    # r9: tokens staged through a generator once per doc — the split
+    # expression captured in the per-position lambda was re-evaluated
+    # for every bigram (no CSE in interpreted HOFs). Same pairs.
+    tks = F.col("_toks")
     pairs = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        F.sequence(F.lit(0), F.size(tks) - 2),
         lambda i: F.struct(
-            F.element_at(toks, i + 1).alias("w1"),
-            F.element_at(toks, i + 2).alias("w2"),
+            F.element_at(tks, i + 1).alias("w1"),
+            F.element_at(tks, i + 2).alias("w2"),
         ),
     )
     return (
         docs.filter(F.size(toks) >= 2)
+        .select(id_col, F.explode(F.array(toks)).alias("_toks"))
         .select(id_col, F.explode(pairs).alias("bg"))
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )

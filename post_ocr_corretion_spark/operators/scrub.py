@@ -69,13 +69,22 @@ def _word_ngrams(df: DataFrame, text_col: str, n: int):
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.length(t) > 0
     )
+    # r9: tokens staged through a generator once per row — the
+    # split+filter expression captured in the per-window lambda was
+    # re-evaluated for every window (no CSE in interpreted HOFs; the
+    # winnowing O(n²) fix). Same grams.
+    tks = F.col("_toks")
     # guard the short-doc case explicitly: Spark's sequence(0, -1) would
     # generate a DESCENDING [0, -1], not an empty list
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+    idx = F.when(F.size(tks) >= n, F.sequence(F.lit(0), F.size(tks) - n)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return df.select("*", F.explode(grams).alias("_gram"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tks, i + 1, n), " "))
+    cols = df.columns
+    return (
+        df.select("*", F.explode(F.array(toks)).alias("_toks"))
+        .select(*cols, F.explode(grams).alias("_gram"))
+    )
 
 
 def decontaminate(

@@ -42,6 +42,7 @@ def token_ngram_windows(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: str = "xxhash64",
+    staged: bool = True,
 ) -> DataFrame:
     """Every length-k token window of every document:
     (id_col, pos, gh) with pos the 0-based token index of the window
@@ -52,23 +53,34 @@ def token_ngram_windows(
     Documents shorter than k tokens contribute no windows (and are
     therefore never flagged — a doc that IS a duplicate below the
     window length belongs to exact/MinHash dedup, not substring
-    dedup)."""
+    dedup).
+
+    ``staged`` (r9, default): materialize the token array once per doc
+    inside a generator before the window sweep — the split expression
+    captured in the per-window lambda is otherwise re-evaluated for
+    every window (no CSE in interpreted HOFs; the winnowing O(n²) fix).
+    Identical windows and fingerprints either way. The STREAMING caller
+    passes ``staged=False``: the extra Generate breaks watermark
+    attribute binding in microbatch planning (INTERNAL_ERROR_ATTRIBUTE_
+    NOT_FOUND), and its per-batch volumes keep the unstaged form
+    acceptable there."""
     if k < 2:
         raise ValueError(f"k must be >= 2 tokens, got {k}")
     if fingerprint not in ("xxhash64", "exact"):
         raise ValueError(f"fingerprint must be 'xxhash64' or 'exact', got {fingerprint!r}")
     toks = F.split(F.col(text_col), " ")
-    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
+    tks = F.col("_toks") if staged else toks
+    gram = lambda i: F.concat_ws(" ", F.slice(tks, i + 1, k))  # noqa: E731
     fp = (lambda i: F.xxhash64(gram(i))) if fingerprint == "xxhash64" else gram
-    return (
-        docs.filter(F.size(toks) >= k)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(F.sequence(F.lit(0), F.size(toks) - k), fp)
-            ).alias("pos", "gh"),
+    windows = F.posexplode(
+        F.transform(F.sequence(F.lit(0), F.size(tks) - k), fp)
+    ).alias("pos", "gh")
+    filtered = docs.filter(F.size(toks) >= k)
+    if staged:
+        return filtered.select(id_col, F.explode(F.array(toks)).alias("_toks")).select(
+            id_col, windows
         )
-    )
+    return filtered.select(id_col, windows)
 
 
 def repeated_ngram_spans(

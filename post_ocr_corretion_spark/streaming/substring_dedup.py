@@ -288,6 +288,9 @@ def _windows_keyed(
         k,
         text_col="text",
         id_col="_row",
+        # staged=False: the staging Generate breaks streaming watermark
+        # attribute binding (see token_ngram_windows docstring)
+        staged=False,
     ).select(
         F.col("_row.doc_id").alias("doc_id"),
         F.unix_timestamp(F.col("_row._evt")).alias("ts"),
