@@ -192,6 +192,13 @@ def candidate_batches(
         pairs = candidate_pairs_d2(err_words, lexicon)
     else:
         pairs = candidate_pairs(err_words, lexicon, lex_del)
+    # r9: materialize the candidate pair list once — the batch assembly
+    # references it three times (base rows, +punct variants, and the
+    # distinct-word prob table derives from their union), and without
+    # the checkpoint each reference re-ran the whole edit-join chain
+    # (guide §5: cache on reuse; the pair list is vocabulary-bounded).
+    # Values unchanged.
+    pairs = pairs.localCheckpoint(eager=True)
     punct = err_words.select("err_word", add_last_punctuation(F.col("err_word")).alias("punct"))
     variants = (
         pairs.join(punct.filter(F.col("punct") != ""), "err_word")
