@@ -630,13 +630,13 @@ def q_ann_cosine_topk(spark, sf):
 
     emb = _emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    return brute_force_topk(emb, q, k=5).select("qid", "rnk", "vec_id", "cos")
+    return brute_force_topk(emb, q, k=5, dim=64).select("qid", "rnk", "vec_id", "cos")
 
 
 def q_embed_near_dup(spark, sf):
     from post_ocr_corretion_spark.operators.similarity import cosine_near_dup_pairs
 
-    return cosine_near_dup_pairs(_emb(spark, sf), threshold=0.35)
+    return cosine_near_dup_pairs(_emb(spark, sf), threshold=0.35, dim=64)
 
 
 def q_lsh_near_dup(spark, sf):
@@ -681,7 +681,7 @@ def q_ivf_ann_topk(spark, sf):
         .select("qid", "vec_id")
         .withColumn("hit", F.lit(1))
     )
-    bf = brute_force_topk(emb, q, k=5)
+    bf = brute_force_topk(emb, q, k=5, dim=64)
     marked = bf.join(ivf, ["qid", "vec_id"], "left")
     ivf_counts = ivf.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivf"))
     total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
@@ -722,7 +722,7 @@ def q_ivf_pruned_topk(spark, sf):
     ann = ivf_pruned_topk(spark, store, q, cents, k=5, nprobe=3)
     pruning_ok = "list_id" in pruned_scan_partition_filter(ann)
     hits = ann.select("qid", "vec_id").withColumn("hit", F.lit(1))
-    bf = brute_force_topk(emb, q, k=5)
+    bf = brute_force_topk(emb, q, k=5, dim=64)
     marked = bf.join(hits, ["qid", "vec_id"], "left")
     counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_pruned"))
     total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
@@ -780,7 +780,7 @@ def q_pq_ann_topk(spark, sf):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    bf = brute_force_topk(emb, q, k=5)
+    bf = brute_force_topk(emb, q, k=5, dim=64)
     marked = bf.join(pq, ["qid", "vec_id"], "left")
     pq_counts = pq.groupBy("qid").agg(F.count(F.lit(1)).alias("n_pq"))
     total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
@@ -829,7 +829,7 @@ def q_ivfpq_ann_topk(spark, sf):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    bf = brute_force_topk(emb, q, k=5)
+    bf = brute_force_topk(emb, q, k=5, dim=64)
     marked = bf.join(ann, ["qid", "vec_id"], "left")
     counts = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_ivfpq"))
     total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded
@@ -2796,7 +2796,7 @@ def q_lopq_ann_topk(spark, sf):
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    bf = brute_force_topk(emb, q, k=5)
+    bf = brute_force_topk(emb, q, k=5, dim=64)
     marked = bf.join(ann, ["qid", "vec_id"], "left")
     counts = ann.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lopq"))
     total_hits = F.sum("hit").over(W.partitionBy())  # 15 rows — bounded

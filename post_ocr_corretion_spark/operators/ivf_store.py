@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .similarity import _centroid_scores, cosine, ivf_assign
+from .similarity import _centroid_scores, dot, ivf_assign
 
 
 def write_ivf_partitioned(
@@ -34,22 +34,27 @@ def write_ivf_partitioned(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    dim: int | None = None,
 ) -> None:
     """Assign each vector to its nearest-centroid IVF list and write the
     raw vectors hive-partitioned by ``list_id`` (one directory per
     list). Pay the assignment + shuffle once at build time; every
     subsequent probed read prunes at the directory level."""
-    ivf_assign(emb, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(path)
+    ivf_assign(emb, centroids, id_col, vec_col, unroll=dim is not None).write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
 
 
 def probe_lists(
-    queries: DataFrame, centroids: list[list[float]], nprobe: int, qvec_col: str = "qv"
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    qvec_col: str = "qv",
+    dim: int | None = None,
 ) -> DataFrame:
     """(qid, list_id) — each query's nprobe nearest IVF lists, the same
     centroid-argmax expression ivf_topk probes with."""
-    qscores = _centroid_scores(F.col(qvec_col), centroids)
+    qscores = _centroid_scores(F.col(qvec_col), centroids, unroll=dim is not None)
     ranked = F.transform(
         F.array_sort(
             F.transform(qscores, lambda s, i: F.struct((-s).alias("neg"), i.alias("list_id")))
@@ -71,24 +76,39 @@ def ivf_pruned_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine over ONLY the probed partitions of an
     ``write_ivf_partitioned`` store. The union of probe lists (≤
     n_lists ints) becomes a literal IN-filter so the parquet scan's
     PartitionFilters prune at file level; the per-query (qid, list_id)
     probe frame then broadcast-joins each query to just its own lists'
-    rows. Excludes self-matches (qid == vec_id) like ivf_topk."""
-    probes = probe_lists(queries, centroids, nprobe)
+    rows. Excludes self-matches (qid == vec_id) like ivf_topk.
+
+    r9: norms hoisted below the probe join (the brute_force_topk /
+    ivf_topk fix — inline ``cosine()`` re-ran both sqrt reductions per
+    pair); same expression tree per value → bit-identical cos."""
+    probes = probe_lists(queries, centroids, nprobe, dim=dim)
     probed_ids = sorted(
         r.list_id for r in probes.select("list_id").distinct().collect()
     )  # bounded: <= n_lists integers
-    store = spark.read.parquet(store_path).filter(F.col("list_id").isin(probed_ids))
-    q = queries.join(F.broadcast(probes), "qid")
+    store = (
+        spark.read.parquet(store_path)
+        .filter(F.col("list_id").isin(probed_ids))
+        .withColumn("_nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)))
+    )
+    q = queries.join(F.broadcast(probes), "qid").withColumn(
+        "_nq", F.sqrt(dot(F.col("qv"), F.col("qv"), dim))
+    )
     scored = (
         q.join(store, "list_id")
         .filter(F.col("qid") != F.col(id_col))
         .select(
-            "qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos")
+            "qid",
+            id_col,
+            F.round(
+                dot(F.col("qv"), F.col(vec_col), dim) / (F.col("_nq") * F.col("_nv")), 4
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())

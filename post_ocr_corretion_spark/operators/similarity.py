@@ -27,16 +27,65 @@ def hyperplanes(n_planes: int, dim: int, seed: int = LSH_SEED) -> list[list[floa
     return [[round(float(x), 4) for x in row] for row in rs.standard_normal((n_planes, dim))]
 
 
-def dot(a: Column, b: Column) -> Column:
+def _hof_dot_sql(a: str, b: str) -> str:
+    """SQL text of the HOF left-fold dot — the exact ``F.aggregate``
+    expression ``dot()`` builds (same functions, same fold seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _unrolled_dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the unrolled left-fold dot with the per-row width
+    guard (see ``dot``). Built as ONE string parsed JVM-side: the first
+    implementation assembled the 64-term tree through per-node py4j
+    Column calls, which cost ~1-4 s of DRIVER build time per query —
+    dwarfing the execution win on plan-bound queries."""
+    terms = " + ".join(f"get({a}, {i}) * get({b}, {i})" for i in range(dim))
+    return (
+        f"CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN cast(0.0 as double) + {terms} "
+        f"ELSE {_hof_dot_sql(a, b)} END"
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Dot product of two array<double> columns.
+
+    Default: the HOF left fold ``aggregate(zip_with(a,b,*), 0.0, +)``.
+    Higher-order functions are CodegenFallback expressions — every
+    element pays an interpreted lambda invocation, which is the measured
+    residual cost of the whole ANN family (r9 guide §4.1/§2 "per-task
+    work"). With ``dim`` (statically known vector width, e.g. the
+    embeddings table's 64) AND string column names, emit the UNROLLED
+    left-associated sum ``((0.0 + a0*b0) + a1*b1) + …`` instead: the
+    identical IEEE-754 additions in the identical order (F.aggregate is
+    a left fold seeded 0.0), so every double is bit-identical — but the
+    expression is plain GetArrayItem/Multiply/Add arithmetic that
+    whole-stage codegen compiles. A per-row size guard falls back to the
+    HOF form whenever either array is not exactly ``dim`` wide (or
+    null), so a width mismatch can never change results. The unroll is
+    parsed from one SQL string (``F.expr``) — Column operands skip it
+    (py4j per-node construction costs seconds of driver time)."""
+    if dim and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_unrolled_dot_sql(a, b, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim)))
 
 
 def brute_force_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "v"
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """queries (qid, qv) × corpus (vec_id, v) → top-k by (cos desc, id).
 
@@ -48,8 +97,8 @@ def brute_force_topk(
     each corpus norm computed once and each pair pays ONE dot product.
     Same expression tree per value (double arithmetic is deterministic),
     so every cos is bit-identical to the inline form."""
-    q = queries.withColumn("_nq", F.sqrt(dot(F.col("qv"), F.col("qv"))))
-    e = emb.withColumn("_nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    q = queries.withColumn("_nq", F.sqrt(dot("qv", "qv", dim)))
+    e = emb.withColumn("_nv", F.sqrt(dot(vec_col, vec_col, dim)))
     scored = (
         q.crossJoin(e)
         .filter(F.col("qid") != F.col(id_col))
@@ -57,7 +106,7 @@ def brute_force_topk(
             "qid",
             id_col,
             F.round(
-                dot(F.col("qv"), F.col(vec_col)) / (F.col("_nq") * F.col("_nv")), 4
+                dot("qv", vec_col, dim) / (F.col("_nq") * F.col("_nv")), 4
             ).alias("cos"),
         )
     )
@@ -65,18 +114,46 @@ def brute_force_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def _lit_sql(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal and string→double cast uses the same parse, so the folded
+    constant is bit-identical to ``F.lit(x)``."""
+    return f"cast('{x!r}' as double)"
+
+
+def _dot_lits(vec_col: Column | str, consts: list[float], unroll: bool) -> Column:
+    """Dot of an array column against a Python-literal vector. Same
+    unrolled-left-fold treatment as ``dot(…, dim=…)`` (identical IEEE add
+    sequence → bit-identical doubles; per-row size guard falls back to
+    the HOF fold on width mismatch; single-string F.expr construction to
+    keep driver build time flat)."""
+    if unroll and isinstance(vec_col, str):
+        arr = "array(" + ", ".join(_lit_sql(x) for x in consts) + ")"
+        hof = (
+            f"aggregate(zip_with({vec_col}, {arr}, (a, b) -> a * b), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        terms = " + ".join(
+            f"get({vec_col}, {i}) * {_lit_sql(x)}" for i, x in enumerate(consts)
+        )
+        return F.expr(
+            f"CASE WHEN size({vec_col}) = {len(consts)} "
+            f"THEN cast(0.0 as double) + {terms} ELSE {hof} END"
+        )
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.zip_with(vec, F.array(*[F.lit(x) for x in consts]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(
+    vec_col: Column | str, planes: list[list[float]], unroll: bool = False
+) -> Column:
     """Sign-bit bucket string: '1' if dot(v, h_j) > 0 else '0', j-ordered."""
     bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(x) for x in p]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
+        F.when(_dot_lits(vec_col, p, unroll) > 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
     ]
     return F.concat(*bits)
@@ -100,6 +177,7 @@ def lsh_near_dup_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-band random-hyperplane LSH: split the planes into ``bands``
     bucket keys, take the union of per-band bucket collisions as the
@@ -121,7 +199,9 @@ def lsh_near_dup_pairs(
     for bi, chunk in enumerate(chunks):
         part = emb.select(
             id_col,
-            F.concat(F.lit(f"{bi}:"), lsh_bucket(F.col(vec_col), chunk)).alias("bkt"),
+            F.concat(
+                F.lit(f"{bi}:"), lsh_bucket(vec_col, chunk, unroll=dim is not None)
+            ).alias("bkt"),
         )
         banded = part if banded is None else banded.union(part)
     a, b = banded.alias("a"), banded.alias("b")
@@ -135,23 +215,26 @@ def lsh_near_dup_pairs(
     va = emb.select(
         F.col(id_col).alias("da"),
         F.col(vec_col).alias("_va"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_na"),
+        F.sqrt(dot(vec_col, vec_col, dim)).alias("_na"),
     )
     vb = emb.select(
         F.col(id_col).alias("db"),
         F.col(vec_col).alias("_vb"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nb"),
+        F.sqrt(dot(vec_col, vec_col, dim)).alias("_nb"),
     )
+    # round-after-prefilter (see cosine_near_dup_pairs: round(…,4)
+    # codegens through BigDecimal + Double.toString, so it runs only on
+    # candidates surviving the safe raw bound — identical output rows)
     return (
         cand.join(va, "da")
         .join(vb, "db")
         .select(
             "da",
             "db",
-            F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
-            ).alias("cos"),
+            (dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))).alias("_raw"),
         )
+        .filter(F.col("_raw") > threshold - 1e-4)
+        .select("da", "db", F.round(F.col("_raw"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -270,25 +353,43 @@ def kmeans_centroids_distributed(
     return C
 
 
-def _centroid_scores(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """array of cosine(vec, centroid_j) in centroid order."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(vec_col, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+def _centroid_scores(
+    vec_col: Column | str, centroids: list[list[float]], unroll: bool = False
+) -> Column:
+    """array of cosine(vec, centroid_j) in centroid order.
+
+    ``unroll`` (needs a string column name): the norm fold
+    ``aggregate(v, 0.0, a + x*x)`` and each centroid dot are emitted as
+    unrolled left-fold sums (bit-identical, codegen-able; see ``dot``).
+    The norm guard falls back to the HOF fold on width mismatch, like
+    ``_dot_lits``."""
+    if unroll and centroids and isinstance(vec_col, str):
+        d = len(centroids[0])
+        hof_norm = (
+            f"aggregate({vec_col}, cast(0.0 as double), (a, x) -> a + x * x)"
+        )
+        terms = " + ".join(f"get({vec_col}, {i}) * get({vec_col}, {i})" for i in range(d))
+        norm = F.sqrt(
+            F.expr(
+                f"CASE WHEN size({vec_col}) = {d} "
+                f"THEN cast(0.0 as double) + {terms} ELSE {hof_norm} END"
             )
-            / norm
-            for c in centroids
-        ]
-    )
+        )
+    else:
+        vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    return F.array(*[_dot_lits(vec_col, c, unroll) / norm for c in centroids])
 
 
-def ivf_assign(emb: DataFrame, centroids: list[list[float]], id_col="vec_id", vec_col="v") -> DataFrame:
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col="vec_id",
+    vec_col="v",
+    unroll: bool = False,
+) -> DataFrame:
     """Assign each vector to its nearest centroid (the IVF list id)."""
-    scores = _centroid_scores(F.col(vec_col), centroids)
+    scores = _centroid_scores(vec_col, centroids, unroll)
     best = F.array_position(scores, F.array_max(scores)) - 1
     return emb.select(id_col, vec_col, best.cast("int").alias("list_id"))
 
@@ -301,16 +402,25 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF search: probe the nprobe nearest lists per query, brute-force
     cosine only within them — the scale path (scans nprobe/k of the
     corpus). Approximate: recall measured against brute_force_topk in
-    tests."""
-    corpus = ivf_assign(emb, centroids, id_col, vec_col)
-    qscores = _centroid_scores(F.col("qv"), centroids)
+    tests.
+
+    r9: norms hoisted below the probe join (the brute_force_topk fix —
+    the inline ``cosine()`` re-ran both sqrt(dot(x,x)) reductions per
+    (probe, vector) pair); same expression tree per value →
+    bit-identical cos."""
+    corpus = ivf_assign(emb, centroids, id_col, vec_col, unroll=dim is not None).withColumn(
+        "_nv", F.sqrt(dot(vec_col, vec_col, dim))
+    )
+    qscores = _centroid_scores("qv", centroids, unroll=dim is not None)
     probes = queries.select(
         "qid",
         "qv",
+        F.sqrt(dot("qv", "qv", dim)).alias("_nq"),
         F.explode(
             F.slice(
                 F.transform(
@@ -329,14 +439,24 @@ def ivf_topk(
     scored = (
         probes.join(corpus, "list_id")
         .filter(F.col("qid") != F.col(id_col))
-        .select("qid", id_col, F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos"))
+        .select(
+            "qid",
+            id_col,
+            F.round(
+                dot("qv", vec_col, dim) / (F.col("_nq") * F.col("_nv")), 4
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def cosine_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "v"
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact O(N²) near-dup baseline (the oracle for the LSH path's
     recall measurement).
@@ -345,21 +465,36 @@ def cosine_near_dup_pairs(
     brute_force_topk fix): inline ``cosine()`` re-evaluated both
     sqrt(dot(x,x)) reductions once per PAIR — 3 O(dim) interpreted HOF
     reductions per pair instead of 1 (73.8 s → the dot alone at sf0.1).
-    Same expression tree per value → bit-identical cos."""
+    Same expression tree per value → bit-identical cos.
+
+    r9 (second pass, thread-dump evidence): two more per-pair killers.
+    (1) ``round(…, 4)`` codegens through BigDecimal.valueOf(
+    Double.toString(x)) — a string format + BigDecimal alloc per PAIR,
+    and the rounded filter was pushed into the join condition, so every
+    one of the O(N²) probes paid it. The raw cosine is now pre-filtered
+    with the SAFE bound ``raw > threshold − 1e-4`` (round-half-up can
+    only raise a value by < 5e-5, so every pair with round(raw,4) ≥ t
+    has raw ≥ t − 5e-5 > t − 1e-4: the prefilter is a strict superset)
+    and the exact round + exact ``cos ≥ t`` filter run only on the
+    surviving candidates — identical output rows. (2) the streamed side
+    of the BroadcastNestedLoopJoin inherited the input's single-file
+    partitioning — ONE task computed all N²/2 pairs (31 of 32 cores
+    idle; 17+ min observed at N = 20 000). The streamed side is now
+    repartitioned to 2×cores (scale-adaptive, same rows)."""
     withn = emb.select(
-        id_col, vec_col, F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n")
+        id_col, vec_col, F.sqrt(dot(vec_col, vec_col, dim)).alias("_n")
     )
-    a, b = withn.alias("a"), withn.alias("b")
+    par = emb.sparkSession.sparkContext.defaultParallelism * 2
+    a, b = withn.repartition(par).alias("a"), withn.alias("b")
+    raw = dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("da"),
             F.col(f"b.{id_col}").alias("db"),
-            F.round(
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a._n") * F.col("b._n")),
-                4,
-            ).alias("cos"),
+            raw.alias("_raw"),
         )
+        .filter(F.col("_raw") > threshold - 1e-4)
+        .select("da", "db", F.round(F.col("_raw"), 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
