@@ -35,10 +35,19 @@ def corpus_words(docs: DataFrame, text_col: str = "text") -> DataFrame:
     filter gets predicate-pushed below the Project by Catalyst, which
     DUPLICATES the P6 regexp per token (one eval in the filter, one in
     the projection; guide §4.4 shape). Filtering first halves the regex
-    work (r9 optimization)."""
+    work (r9 optimization).
+
+    r9 second pass: DISTINCT on the raw token before the strip/lower
+    projection (then distinct again). distinct(f(w) for all w) =
+    distinct(f(u) for u in distinct(w)) — identical set — but the P6
+    regex now runs once per distinct RAW token (vocabulary-bounded)
+    instead of once per token occurrence; the raw-token distinct's
+    map-side partial aggregation replaces per-occurrence regex work
+    (guide §2.3 "aggregate before you shuffle")."""
     return (
         docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
         .filter(F.length("w") > 0)
+        .distinct()
         .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
         .distinct()
     )
@@ -76,9 +85,13 @@ def build_lexicon(
     # distinct(distinct(A) ∪ B) = distinct(A ∪ B)). Wall-neutral at the
     # bench scale factors (the token-side aggregation dominates) but one
     # fewer shuffle of the vocabulary at any scale; result identical.
+    # raw-token distinct BEFORE the strip/lower projection (see
+    # corpus_words: the P6 regex runs per distinct raw token, not per
+    # occurrence; the final distinct over ∪ base keeps the set identical)
     tokens = (
         docs.select(F.explode(words_on_space(clean_text(F.col(text_col)))).alias("w"))
         .filter(F.length("w") > 0)
+        .distinct()
         .select(F.lower(remove_punctuation(F.col("w"))).alias("word"))
     )
     out = (
