@@ -114,6 +114,34 @@ def brute_force_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _round4_ge(x: Column, threshold: float) -> Column:
+    """A raw-value predicate EXACTLY equivalent to
+    ``round(x, 4) >= threshold``, with no per-row round().
+
+    Spark's round() on a double goes through BigDecimal.valueOf(
+    Double.toString(x)): HALF_UP (half away from ZERO) on the shortest
+    round-tripping decimal repr. Its outputs are 1e-4 decimal multiples,
+    so round(x,4) >= t ⟺ round(x,4) >= c where c = ceil4(t), the
+    smallest 1e-4 multiple ≥ t. The half point b = c − 0.00005 rounds
+    away from zero: UP to c when c > 0 (so b itself passes — inclusive
+    bound), DOWN away from c when c ≤ 0 (so b fails — strict bound; the
+    c = 0 half point −0.00005 rounds to −0.0001, and anything above it
+    rounds to ±0.0 which compares ≥ 0.0 in IEEE). Shortest-round-trip
+    reprs are order-preserving and b's short decimal is its own double's
+    shortest repr, so the decimal comparison equals the double
+    comparison against float(b). NaN compares greatest in Spark under
+    both forms; NULL is false under both. (Unit-swept against the real
+    round() in tests/test_dot_unroll.py, including the negative-zero
+    half point the away-from-zero mode flips.)"""
+    from decimal import ROUND_CEILING, Decimal
+
+    q = Decimal("0.0001")
+    t = Decimal(repr(threshold))
+    ceil4 = (t / q).to_integral_value(rounding=ROUND_CEILING) * q
+    b = float(ceil4 - Decimal("0.00005"))
+    return x >= F.lit(b) if ceil4 > 0 else x > F.lit(b)
+
+
 def _lit_sql(x: float) -> str:
     """Exact SQL double literal: repr() is the shortest round-tripping
     decimal and string→double cast uses the same parse, so the folded
@@ -222,20 +250,15 @@ def lsh_near_dup_pairs(
         F.col(vec_col).alias("_vb"),
         F.sqrt(dot(vec_col, vec_col, dim)).alias("_nb"),
     )
-    # round-after-prefilter (see cosine_near_dup_pairs: round(…,4)
-    # codegens through BigDecimal + Double.toString, so it runs only on
-    # candidates surviving the safe raw bound — identical output rows)
+    # threshold as a raw-cosine bound (see _round4_boundary — exactly
+    # round(raw,4) >= t), so the BigDecimal-backed round() runs only in
+    # the projection of pairs that pass, never as a per-candidate filter
+    raw = dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
     return (
         cand.join(va, "da")
         .join(vb, "db")
-        .select(
-            "da",
-            "db",
-            (dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))).alias("_raw"),
-        )
-        .filter(F.col("_raw") > threshold - 1e-4)
-        .select("da", "db", F.round(F.col("_raw"), 4).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        .filter(_round4_ge(raw, threshold))
+        .select("da", "db", F.round(raw, 4).alias("cos"))
     )
 
 
@@ -487,14 +510,21 @@ def cosine_near_dup_pairs(
     par = emb.sparkSession.sparkContext.defaultParallelism * 2
     a, b = withn.repartition(par).alias("a"), withn.alias("b")
     raw = dot(f"a.{vec_col}", f"b.{vec_col}", dim) / (F.col("a._n") * F.col("b._n"))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("da"),
-            F.col(f"b.{id_col}").alias("db"),
-            raw.alias("_raw"),
-        )
-        .filter(F.col("_raw") > threshold - 1e-4)
-        .select("da", "db", F.round(F.col("_raw"), 4).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    # the threshold rides the join condition EXPLICITLY, after the id
+    # comparison (conjunct order is short-circuit order: Catalyst pushes
+    # post-join filters into the BNLJ condition AHEAD of the original
+    # predicate, which would evaluate the O(dim) dot — or worse, the
+    # BigDecimal round — even for the half of all pairs failing the
+    # cheap id check). ``_round4_ge(raw, t)`` is exactly
+    # ``round(raw,4) >= t`` (see _round4_ge), so no rounded filter
+    # exists for Catalyst to push back in; round() runs only in the
+    # projection of the surviving pairs.
+    return a.join(
+        b,
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & _round4_ge(raw, threshold),
+    ).select(
+        F.col(f"a.{id_col}").alias("da"),
+        F.col(f"b.{id_col}").alias("db"),
+        F.round(raw, 4).alias("cos"),
     )

@@ -123,3 +123,24 @@ def test_brute_force_topk_rows_identical_with_dim(spark):
     base = sorted(map(tuple, brute_force_topk(emb, q, k=5).collect()))
     unr = sorted(map(tuple, brute_force_topk(emb, q, k=5, dim=64).collect()))
     assert base == unr
+
+
+def test_round4_boundary_equivalence(spark):
+    """_round4_ge(raw, t) must keep EXACTLY the rows
+    round(raw,4) >= t keeps — swept over boundary-adjacent doubles and
+    several thresholds (incl. non-multiples of 1e-4 and negatives)."""
+    from post_ocr_corretion_spark.operators.similarity import _round4_ge
+
+    vals = []
+    for base in (0.34995, 0.35005, 0.9, -1.0, 0.35125, -0.00005, 0.0):
+        for k in range(-3, 4):
+            vals.append(base + k * 5e-17)  # ulp-scale jitter
+            vals.append(base + k * 1e-5)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for t in (0.35, 0.9, -1.0, 0.351234, 0.0, -0.5, 1e-4, -1e-4):
+        got = df.select(
+            (F.round(F.col("x"), 4) >= t).alias("via_round"),
+            _round4_ge(F.col("x"), t).alias("via_bound"),
+        ).collect()
+        for r, v in zip(got, vals):
+            assert r.via_round == r.via_bound, (t, repr(v), r)
