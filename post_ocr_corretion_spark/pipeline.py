@@ -307,6 +307,18 @@ def run_pipeline_from_docs(
     # ranges per partition, which a columnar sink can exploit for
     # min/max pruning on the key — same uniform balance, one extra
     # range-boundary sampling pass.
+    #
+    # r9: the repartition feeds ONLY the per-doc Python stage. The
+    # lexicon/scorer job reads the RAW docs frame instead: its token
+    # distinct gets map-side partial aggregation inside the scan tasks,
+    # so only per-task vocabularies ever cross an exchange — routing it
+    # through the repartition shuffled the ENTIRE corpus text first, an
+    # extra full-corpus exchange at any scale (guide §2.4 "remove
+    # shuffles outright"; measured 4× on the lexicon job at sf0.1, ~1.2×
+    # at the 10× replica, where the scan is a single split — at real
+    # multi-split corpora the saving is the whole text shuffle). The
+    # lexicon is a distinct ∪ base — set-identical either way.
+    lexicon_input = lexicon_docs if lexicon_docs is not None else docs
     par = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
     if spread == "range":
         docs = docs.repartitionByRange(par, F.xxhash64("doc_id"))
@@ -314,8 +326,7 @@ def run_pipeline_from_docs(
         docs = docs.repartition(par, F.xxhash64("doc_id"))
 
     lexicon_df = build_lexicon(
-        spark, lexicon_docs if lexicon_docs is not None else docs,
-        COMMON_WORDS, bucketed=(mode == "catalyst"),
+        spark, lexicon_input, COMMON_WORDS, bucketed=(mode == "catalyst"),
     )
     if mode == "catalyst" or fit == "spark-agg":
         # only these paths traverse the lexicon frame more than once
