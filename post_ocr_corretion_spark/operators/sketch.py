@@ -47,20 +47,31 @@ def cms_build(
     seed: str = "cms",
 ) -> DataFrame:
     """(row, bucket, cnt): the depth×width counter grid over every
-    occurrence (not distinct key) in ``items``. One explode to depth
-    rows per occurrence + one map-side-partial aggregate."""
+    occurrence (not distinct key) in ``items``.
+
+    r9 shape: per-key occurrence counts FIRST (one map-side-partial
+    aggregate over the raw stream — no hashing), then the d md5 buckets
+    once per DISTINCT key, then cell sums. A cell's count is
+    Σ_keys count(key)·[h_row(key)=bucket], so the grid is identical to
+    hashing every occurrence — but the md5+decimal-pmod work drops from
+    per-occurrence to per-distinct-key (key-domain-bounded), and the
+    heavy first exchange carries per-task key counts instead of
+    per-occurrence bucket rows (guide §2.3 "aggregate before you
+    shuffle")."""
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
-    rows = items.select(
-        F.col(key_col).alias("_k"),
-        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row"),
+    counts = items.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rows = counts.select(
+        "_k", "_c", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_row")
     )
     return (
         rows.select(
-            "_row", _bucket(seed, F.col("_row"), F.col("_k"), width).alias("_bucket")
+            "_c", "_row", _bucket(seed, F.col("_row"), F.col("_k"), width).alias("_bucket")
         )
         .groupBy(F.col("_row").alias("row"), F.col("_bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.sum("_c").cast("long").alias("cnt"))
     )
 
 
