@@ -25,36 +25,78 @@ from ..functions.text import char_array, clean_text, despace, mark_spaces
 def split_to_fit(df: DataFrame, text_col: str = "seq", max_len: int = MAX_SEQUENCE_LEN) -> DataFrame:
     """D2 — iterative split at the most-central space until every sequence
     fits. Driver loop with a bounded number of rounds; each round is one
-    narrow Catalyst job over only the still-too-long rows."""
-    from pyspark.sql import Window as W
+    narrow Catalyst job over only the still-too-long rows.
+
+    r9: the W7 argmin inside each round is the PURE ARRAY EXPRESSION of
+    q_w7_split_point (space positions = running prefix lengths of
+    split(seq, ' ') parts; strict-< fold keeps the first position on
+    ties — exactly the old row_number(ORDER BY |pos−len/2|, pos) = 1),
+    instead of a per-CHARACTER explode + per-row window sort. Each
+    round is now one narrow projection: no exchange, no sort, no
+    O(len) explosion per row — the same split positions, so the output
+    multiset is identical (oracle d2 gate + core-equivalence test
+    green). The chosen position stages through a generator so the fold
+    runs once per row, not once per reference (the
+    Project-above-Generate collapse)."""
+    from .lexicon import _spread_tokens_input
 
     c = F.col(text_col)
+    # same scale-adaptive guard as the tokenize stages: an under-split
+    # scan (the single-file sandbox tables) runs the whole clean+fold
+    # chain on one core; a multi-split corpus is left untouched
+    df = _spread_tokens_input(df)
     ok = df.filter(F.length(c) <= max_len)
     pending = df.filter(F.length(c) > max_len)
+    other_cols = [x for x in df.columns if x != text_col]
     while not pending.isEmpty():
-        # a unique row id so duplicate sequences split independently
-        tagged = pending.withColumn("_rid", F.monotonically_increasing_id())
-        # W7: space position minimizing |pos - len/2| (first on ties)
-        pos = tagged.select(
-            "*",
-            F.explode(F.sequence(F.lit(0), F.length(c) - 1)).alias("pos"),
-        ).filter(F.substring(c, F.col("pos") + 1, 1) == " ")
-        metric = F.abs(F.col("pos") - F.length(c) / F.lit(2.0))
-        w = W.partitionBy("_rid").orderBy(metric.asc(), F.col("pos").asc())
-        best = pos.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        halves = best.select(
-            *[x for x in df.columns if x != text_col],
-            F.explode(
-                F.array(
-                    F.substring(c, 1, F.col("pos")),
-                    c.substr(F.col("pos") + 2, F.length(c) - F.col("pos") - 1),
-                )
-            ).alias(text_col),
-        ).select(*df.columns)
-        # sequences with NO space never appear in `best` → dropped, the
-        # reference's over-long-single-word rule (:132)
+        parts = F.split(c, " ", -1)
+        # positions of the i-th space = len(parts[0..i] joined by ' ')
+        space_pos = F.aggregate(
+            F.slice(parts, F.lit(1), F.size(parts) - 1),
+            F.struct(
+                F.lit(-1).cast("int").alias("cur"),
+                F.array().cast("array<int>").alias("ps"),
+            ),
+            lambda acc, part: F.struct(
+                (acc.cur + F.length(part) + 1).cast("int").alias("cur"),
+                F.concat(
+                    acc.ps, F.array((acc.cur + F.length(part) + 1).cast("int"))
+                ).alias("ps"),
+            ),
+        )["ps"]
+        half = F.length(c) / F.lit(2.0)
+        # W7 argmin: strict < keeps the FIRST (smallest) position on
+        # ties; -1 = no space at all → the row is dropped below (the
+        # reference's over-long-single-word rule, :132)
+        best = F.aggregate(
+            space_pos,
+            F.lit(-1).cast("int"),
+            lambda acc, p: F.when(acc < 0, p)
+            .when(F.abs(p - half) < F.abs(acc - half), p)
+            .otherwise(acc),
+        )
+        with_pos = pending.select(
+            *other_cols, c, F.explode(F.array(best)).alias("_pos")
+        ).filter(F.col("_pos") >= 0)
+        # materialize the round's halves ONCE: both consumers (the kept
+        # side of the union and the next round's pending) read the
+        # checkpointed rows, instead of re-deriving the fold+explode
+        # chain per reference (the candidate_batches lesson)
+        halves = (
+            with_pos.select(
+                *other_cols,
+                F.explode(
+                    F.array(
+                        F.substring(c, 1, F.col("_pos")),
+                        c.substr(F.col("_pos") + 2, F.length(c) - F.col("_pos") - 1),
+                    )
+                ).alias(text_col),
+            )
+            .select(*df.columns)
+            .localCheckpoint(eager=True)
+        )
         ok = ok.unionByName(halves.filter(F.length(c) <= max_len))
-        pending = halves.filter(F.length(c) > max_len).localCheckpoint(eager=True)
+        pending = halves.filter(F.length(c) > max_len)
     return ok
 
 

@@ -115,8 +115,25 @@ def make_segment_udf(segmenter_bc):
 
 def segment_documents(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """(seq_id, output_seq, input_seq, segmented) — segmented is the
-    model's re-spacing of the de-spaced input."""
+    model's re-spacing of the de-spaced input.
+
+    r9: the Viterbi UDF is CPU-bound Python (O(len·MAX_WORD_LEN) dict
+    probes per sequence), and a single-file docs scan hands it ONE
+    input partition — the whole corpus decoded on one core (measured
+    9.3 s at sf0.1 with 31 cores idle). Spread the prepared sequences
+    across 2×cores ONLY when the frame has fewer partitions than cores;
+    a real multi-split corpus already has them and is left untouched.
+    The repartition sits ABOVE the projection that assigns ``seq_id``
+    (monotonically_increasing_id is evaluated in the pre-exchange
+    stage, so every id — and every output row — is unchanged)."""
     seqs = prepare_sequences(docs)
+    sc = spark.sparkContext
+    try:
+        existing = seqs.rdd.getNumPartitions()
+    except Exception:
+        existing = None
+    if existing is not None and existing < sc.defaultParallelism:
+        seqs = seqs.repartition(sc.defaultParallelism * 2)
     seg_udf = make_segment_udf(build_segmenter_broadcast(spark, docs))
     return seqs.withColumn("segmented", seg_udf(F.col("input_seq")))
 
