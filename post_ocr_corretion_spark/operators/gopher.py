@@ -25,6 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# n-gram window construction is ~10× CPU-denser per input byte than a
+# plain tokenize, so the under-split-scan spread targets smaller tasks
+_GRAM_SPREAD_BYTES = 64 * 1024
+
 # TOP2_MAX/TOP3_MAX are Gopher A1.1's top-2-/top-3-gram caps verbatim.
 # DUP2_MAX/DUP3_MAX are REPO-CHOSEN duplicate-mass caps: Rae et al. A1.1
 # defines duplicate-n-gram thresholds only for n in 5..10 (0.15 down to
@@ -39,22 +43,64 @@ DUP2_MAX, DUP3_MAX = 0.40, 0.30
 DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
+
+def _token_starts(text_col: str) -> F.Column:
+    """0-based char offsets of every token of split(text, ' '), plus a
+    ``len(text)+1`` sentinel: token k spans
+    [starts[k], starts[k+1]-2] inclusive, so the n-gram starting at
+    token i IS ``substring(text, starts[i]+1, starts[i+n]-starts[i]-1)``
+    — byte-identical to ``concat_ws(' ', slice(tokens, i+1, n))``
+    because split's separators are exactly one space each. One fold
+    over the token array (evaluated once per row); grams become ONE
+    substring call each instead of an array slice + concat_ws
+    (measured 4× on the explode stage at the 10× replica)."""
+    text = F.col(text_col)
+    parts = F.split(text, " ")
+    folded = F.aggregate(
+        F.slice(parts, F.lit(1), F.size(parts) - 1),
+        F.struct(
+            F.lit(0).cast("int").alias("cur"),
+            F.array(F.lit(0).cast("int")).alias("ss"),
+        ),
+        lambda acc, part: F.struct(
+            (acc.cur + F.length(part) + 1).cast("int").alias("cur"),
+            F.concat(
+                acc.ss, F.array((acc.cur + F.length(part) + 1).cast("int"))
+            ).alias("ss"),
+        ),
+    )["ss"]
+    return F.concat(folded, F.array((F.length(text) + 1).cast("int")))
+
+
+def _gram_at(text_col: str, starts: F.Column, i: F.Column, n: int) -> F.Column:
+    """The n-gram starting at token index i (0-based), via substring
+    arithmetic over the staged starts array (see _token_starts)."""
+    s = F.element_at(starts, i + 1)
+    return F.substring(F.col(text_col), s + 1, F.element_at(starts, i + n + 1) - s - 1)
+
+
 def _ngram_stats(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id_col, top{n}, tot{n}, dup{n}): max gram count, total gram
     occurrences, and occurrences beyond first per gram, per document."""
+    from .lexicon import _spread_tokens_input
+
+    # r9 second pass: spread an under-split scan — the gram projection
+    # below otherwise runs serially inside a single scan task — and
+    # build each gram with ONE substring over the staged token-offset
+    # array instead of an array slice + concat_ws per window (see
+    # _token_starts; byte-identical grams, measured 4×). The offsets
+    # stage through a generator so the fold runs once per row.
+    docs = _spread_tokens_input(docs, _GRAM_SPREAD_BYTES)
     toks = F.split(F.col(text_col), " ")
-    # r9: the token array is materialized once per doc inside a
-    # generator — referencing the split EXPRESSION inside the per-window
-    # lambda re-ran the split for every gram window (no CSE in
-    # interpreted HOFs; the winnowing O(n²) fix). Same grams.
-    tks = F.col("_toks")
+    sts = F.col("_starts")
+    nt = F.size(sts) - 1
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(tks) - n),
-        lambda i: F.concat_ws(" ", F.slice(tks, i + 1, n)),
+        F.sequence(F.lit(0), nt - n),
+        lambda i: _gram_at(text_col, sts, i, n),
     )
     per_gram = (
         docs.filter(F.size(toks) >= n)
-        .select(id_col, F.explode(F.array(toks)).alias("_toks"))
+        .select(id_col, text_col, F.explode(F.array(_token_starts(text_col))).alias("_starts"))
         .select(id_col, F.explode(grams).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -125,12 +171,11 @@ def gopher_dup_ngrams(
     per-document keys) → one (doc, n) aggregate pivoted to columns.
     Ratios are exact-integer numerators/denominators divided once in
     DOUBLE — DuckDB replays them bit-for-bit."""
-    toks = F.split(F.col(text_col), " ")
-    # r9: tokens staged through a generator once per doc (see
-    # _ngram_stats) — the six gram_for widths each re-ran the split per
-    # window otherwise. Same (n, gram) entries.
-    tks = F.col("_toks")
-    nt = F.size(tks)
+    # r9: offsets staged through a generator once per doc; each gram is
+    # ONE substring via the offset array (see _token_starts —
+    # byte-identical to the old concat_ws(slice) windows, measured 4×)
+    sts = F.col("_starts")
+    nt = F.size(sts) - 1
     entry_t = "array<struct<n:int,gram:string>>"
 
     def grams_for(n: int) -> F.Column:
@@ -140,14 +185,17 @@ def gopher_dup_ngrams(
                 F.sequence(F.lit(0), nt - n),
                 lambda i: F.struct(
                     F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice(tks, i + 1, n)).alias("gram"),
+                    _gram_at(text_col, sts, i, n).alias("gram"),
                 ),
             ),
         ).otherwise(F.array().cast(entry_t))
 
+    from .lexicon import _spread_tokens_input
+
     base = docs.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
     per_gram = (
-        docs.select(id_col, F.explode(F.array(toks)).alias("_toks"))
+        _spread_tokens_input(docs, _GRAM_SPREAD_BYTES)
+        .select(id_col, text_col, F.explode(F.array(_token_starts(text_col))).alias("_starts"))
         .select(
             id_col,
             F.explode(F.concat(*[grams_for(n) for n in range(5, 11)])).alias("_e"),

@@ -30,7 +30,7 @@ from ..functions.text import bucket_key, clean_text, remove_punctuation, words_o
 _TOKEN_SPREAD_BYTES = 512 * 1024
 
 
-def _spread_tokens_input(docs: DataFrame) -> DataFrame:
+def _spread_tokens_input(docs: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
     """Scale-adaptive parallelism for the tokenize+distinct stages.
 
     The token distinct wants its partial aggregation to run inside the
@@ -39,18 +39,21 @@ def _spread_tokens_input(docs: DataFrame) -> DataFrame:
     with fewer splits than the work deserves (the single-file sandbox
     tables) serializes the whole explode+regex pass. Spread ONLY in that
     case: when the optimizer's input-size estimate asks for more tasks
-    (~one per _TOKEN_SPREAD_BYTES of input, capped at 2×cores) than the
-    scan naturally has. Real multi-split corpora already exceed the cap
-    and are returned untouched — no full-text shuffle at scale. Row set
-    is identical either way; every consumer is a distinct/groupBy."""
+    (~one per ``bytes_per_task`` of input — default _TOKEN_SPREAD_BYTES,
+    tuned for the tokenize+distinct stages; CPU-denser consumers like
+    the n-gram-window operators pass a smaller target — capped at
+    2×cores) than the scan naturally has. Real multi-split corpora
+    already exceed the cap and are returned untouched — no full-text
+    shuffle at scale. Row set is identical either way; every consumer
+    aggregates per doc or per key."""
     sc = docs.sparkSession.sparkContext
     cap = sc.defaultParallelism * 2
     try:
         size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         existing = docs.rdd.getNumPartitions()
-    except Exception:  # non-file frames with exotic plans: keep as-is
+    except Exception:  # non-file/streaming frames with exotic plans: keep as-is
         return docs
-    target = min(cap, max(1, size // _TOKEN_SPREAD_BYTES))
+    target = min(cap, max(1, size // (bytes_per_task or _TOKEN_SPREAD_BYTES)))
     if existing >= target or target <= 1:
         return docs
     return docs.repartition(target)
