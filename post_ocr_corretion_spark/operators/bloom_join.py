@@ -72,8 +72,36 @@ def bloom_might_contain(key_col: Column, bf: BloomFilter) -> Column:
     ]
     # long literals: values with bit 63 set must wrap to signed
     arr = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words])
+    if bf.m < (1 << 31):
+        # r9: same positions in PURE LONG arithmetic inside the probe
+        # lambda. The md5 scheme's conv→DECIMAL(38,0)→pmod chain was the
+        # per-probe cost at fact scale; with m < 2³¹ the unsigned-64 mod
+        # decomposes exactly in longs:
+        #   (hi·2³² + lo) mod m = ((hi mod m)·(2³² mod m) + lo mod m) mod m
+        # with every intermediate < 2⁶² (no overflow), where hi/lo are
+        # the two 8-hex-char halves — each fits a long, so conv never
+        # leaves long space. Identical positions → identical bits →
+        # identical row set (equality with core/bloom.py is
+        # unit-tested). A fully UNROLLED k-term form was measured 2.4×
+        # SLOWER than this HOF form (the repeated md5 per reference is
+        # not CSE'd outside codegen-able sizes) and was rejected — the
+        # probe/banding lesson from the dot-unroll pass.
+        two32_mod = (1 << 32) % bf.m
+        m_lit = F.lit(bf.m)
+
+        def pos_of(i):
+            h = F.md5(F.concat(key_col, F.lit("#"), i.cast("string")))
+            hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+            return F.pmod(
+                F.pmod(hi, m_lit) * F.lit(two32_mod) + F.pmod(lo, m_lit), m_lit
+            )
+
+        positions = F.transform(F.sequence(F.lit(0), F.lit(bf.k - 1)), pos_of)
+    else:
+        positions = _bloom_position_hashes(bf.m, bf.k, word=key_col)
     probe = F.transform(
-        _bloom_position_hashes(bf.m, bf.k, word=key_col),
+        positions,
         lambda pos: F.getbit(F.element_at(arr, (pos / 64).cast("int") + 1), pos % 64),
     )
     tested = F.aggregate(probe, F.lit(0).cast("long"), lambda acc, b: acc + b.cast("long"))
@@ -84,5 +112,24 @@ def bloom_prefilter(df: DataFrame, key_col: str, bf: BloomFilter) -> DataFrame:
     """Keep only rows whose key MIGHT be in the filter (no false
     negatives — semantically transparent before a join on the same
     key). The probe hashes the canonical string rendering, pairing with
-    ``bloom_filter_from_keys``."""
-    return df.filter(bloom_might_contain(F.col(key_col).cast("string"), bf))
+    ``bloom_filter_from_keys``.
+
+    r9: the k-probe (k md5 evaluations per row) is CPU-dense, and a
+    single-file fact scan ran it serially; the probe input gets the
+    scale-adaptive spread (multi-split fact tables at real scale are
+    untouched — the probe then runs inside the scan tasks as designed).
+    The probe result stages through a GENERATOR and the filter tests
+    the generated attribute: a bare ``filter(probe)`` is predicate-
+    pushed BELOW the spread exchange by Catalyst (measured 6× — the
+    whole probe ran back in the original scan partitions); a filter on
+    a Generate output cannot sink past it. Row set identical (row-local
+    predicate, one generated row per input row)."""
+    from .lexicon import _spread_tokens_input
+
+    hit = bloom_might_contain(F.col(key_col).cast("string"), bf)
+    return (
+        _spread_tokens_input(df)
+        .select("*", F.explode(F.array(hit)).alias("_bloom_hit"))
+        .filter(F.col("_bloom_hit"))
+        .drop("_bloom_hit")
+    )

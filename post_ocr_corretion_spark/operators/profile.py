@@ -32,6 +32,14 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         cols = df.columns
     if not cols:
         raise ValueError("profile_table: no columns to profile")
+    # r9: the melt multiplies every row by len(cols) before the first
+    # aggregate; an under-split scan ran that serially. Scale-adaptive
+    # spread (no-op on multi-split tables); per-column aggregates are
+    # exact (counts, lexicographic extrema) so results are
+    # partition-independent.
+    from .lexicon import _spread_tokens_input
+
+    df = _spread_tokens_input(df)
     melted = df.select(
         F.explode(
             F.array(

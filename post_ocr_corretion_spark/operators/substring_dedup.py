@@ -69,18 +69,35 @@ def token_ngram_windows(
     if fingerprint not in ("xxhash64", "exact"):
         raise ValueError(f"fingerprint must be 'xxhash64' or 'exact', got {fingerprint!r}")
     toks = F.split(F.col(text_col), " ")
-    tks = F.col("_toks") if staged else toks
-    gram = lambda i: F.concat_ws(" ", F.slice(tks, i + 1, k))  # noqa: E731
+    if staged:
+        # r9 second pass: spread an under-split scan (the window sweep
+        # otherwise runs serially in one scan task; multi-split corpora
+        # untouched) and build each window gram with ONE substring over
+        # the staged token-offset array instead of concat_ws over an
+        # array slice — byte-identical strings, identical xxhash64
+        # fingerprints (see gopher._token_starts).
+        from .gopher import _GRAM_SPREAD_BYTES, _gram_at, _token_starts
+        from .lexicon import _spread_tokens_input
+
+        sts = F.col("_starts")
+        nt = F.size(sts) - 1
+        gram = lambda i: _gram_at(text_col, sts, i, k)  # noqa: E731
+        fp = (lambda i: F.xxhash64(gram(i))) if fingerprint == "xxhash64" else gram
+        windows = F.posexplode(
+            F.transform(F.sequence(F.lit(0), nt - k), fp)
+        ).alias("pos", "gh")
+        return (
+            _spread_tokens_input(docs, _GRAM_SPREAD_BYTES)
+            .filter(F.size(toks) >= k)
+            .select(id_col, text_col, F.explode(F.array(_token_starts(text_col))).alias("_starts"))
+            .select(id_col, windows)
+        )
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))  # noqa: E731
     fp = (lambda i: F.xxhash64(gram(i))) if fingerprint == "xxhash64" else gram
     windows = F.posexplode(
-        F.transform(F.sequence(F.lit(0), F.size(tks) - k), fp)
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k), fp)
     ).alias("pos", "gh")
-    filtered = docs.filter(F.size(toks) >= k)
-    if staged:
-        return filtered.select(id_col, F.explode(F.array(toks)).alias("_toks")).select(
-            id_col, windows
-        )
-    return filtered.select(id_col, windows)
+    return docs.filter(F.size(toks) >= k).select(id_col, windows)
 
 
 def repeated_ngram_spans(

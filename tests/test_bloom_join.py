@@ -70,9 +70,15 @@ def test_prefilter_sits_below_the_join_in_plan(spark):
     )
     lines = plan.splitlines()
     join_i = next(i for i, ln in enumerate(lines) if "HashJoin" in ln or "SortMergeJoin" in ln)
-    filt_i = next(i for i, ln in enumerate(lines) if "getbit" in ln and "o_custkey" in ln and "Filter" in ln)
+    # r9 shape: the k-probe rides a Generate (the pushdown barrier that
+    # keeps it ABOVE the spread exchange) and the Filter tests the
+    # generated _bloom_hit attribute — both still strictly below the
+    # join and above the fact scan, so pruned rows never reach the join.
+    probe_i = next(i for i, ln in enumerate(lines) if "getbit" in ln and "o_custkey" in ln)
+    filt_i = next(i for i, ln in enumerate(lines) if "Filter" in ln and "_bloom_hit" in ln)
     scan_i = next(i for i, ln in enumerate(lines) if "FileScan" in ln and "orders" in ln)
     assert join_i < filt_i < scan_i, plan[:1500]
+    assert join_i < probe_i < scan_i, plan[:1500]
 
 
 def test_build_drops_null_keys_instead_of_crashing(spark):
