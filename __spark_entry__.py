@@ -1351,11 +1351,38 @@ def q_flagship_correct(spark, sf):
     return run_pipeline(spark, sf).select("url", "kind", "extracted_text", "corrected_text")
 
 
+def _pin_cpu_parallelism(df, sized_on=None, bytes_per_task: int = 1 << 20):
+    """r9: AQE's byte-based partition coalescing serializes CPU-dense
+    stages whose rows are small but expensive (the edit-distance /
+    Python-UDF metric projections over doc pairs ran as ONE post-join
+    task). When the size estimate says the frame is small enough that
+    AQE would coalesce it hard, pin an explicit repartition
+    (REPARTITION_BY_NUM shuffles are exempt from AQE coalescing); a big
+    frame is returned untouched — at corpus scale AQE keeps real
+    parallelism and the extra exchange would be a pure loss.
+    ``sized_on``: the frame to read the estimate from — pass the SCAN
+    feeding a join (file-source stats are accurate; join estimates are
+    cardinality products, off by orders of magnitude). Row multiset
+    unchanged."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism * 2
+    basis = sized_on if sized_on is not None else df
+    try:
+        size = int(basis._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if size // bytes_per_task >= cap:
+        return df
+    return df.repartition(cap)
+
+
 def _doc_pairs(spark, sf):
     d = _t(spark, sf, "documents")
     a = d.filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
     b = d.filter(F.col("doc_id") % 2 == 1).select((F.col("doc_id") - 1).alias("da"), F.col("text").alias("tb"))
-    return a.join(b, "da")
+    # the per-pair metrics downstream (levenshtein / indel / WER UDFs)
+    # are CPU-dense on few bytes — pin their stage's parallelism
+    return _pin_cpu_parallelism(a.join(b, "da"), sized_on=d)
 
 
 def q_a14_word_diff(spark, sf):
@@ -1432,7 +1459,8 @@ def q_m5_indel_ratio(spark, sf):
     d = _t(spark, sf, "documents")
     a = d.alias("a").filter(F.col("doc_id") % 2 == 0).select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
     b = d.alias("b").filter(F.col("doc_id") % 2 == 1).select((F.col("doc_id") - 1).alias("da"), F.col("text").alias("tb"))
-    return a.join(b, "da").select("da", F.round(indel_ratio_udf(F.col("ta"), F.col("tb")), 6).alias("ratio"))
+    pairs = _pin_cpu_parallelism(a.join(b, "da"), sized_on=d)
+    return pairs.select("da", F.round(indel_ratio_udf(F.col("ta"), F.col("tb")), 6).alias("ratio"))
 
 
 def q_approx_distinct(spark, sf):

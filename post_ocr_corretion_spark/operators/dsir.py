@@ -70,6 +70,15 @@ def _doc_buckets(
     with distinct seeds)."""
     if ngram not in (1, 2):
         raise ValueError(f"ngram must be 1 or 2, got {ngram}")
+    # r9: the per-occurrence md5 bucketing below is CPU-dense; an
+    # under-split scan (single-file pool) ran it serially. Scale-
+    # adaptive spread — multi-split pools untouched; all consumers
+    # aggregate per bucket (integer counts) or per doc (DECIMAL sums),
+    # both partition-order-independent.
+    from .gopher import _GRAM_SPREAD_BYTES
+    from .lexicon import _spread_tokens_input
+
+    docs = _spread_tokens_input(docs, _GRAM_SPREAD_BYTES)
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     if ngram == 1:
         feats = toks
