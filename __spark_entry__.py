@@ -169,8 +169,21 @@ def q_w7_split_point(spark, sf):
     positions are the running prefix lengths of split(text, ' ') parts, so
     no per-char explode/exchange is materialized (VERDICT r2 item 6). The
     argmin fold uses strict '<' so ties keep the smaller (earlier) position,
-    matching the old row_number(ORDER BY metric, pos) tie-break."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    matching the old row_number(ORDER BY metric, pos) tie-break.
+
+    r9: the input is spread when the scan is under-split (the two folds
+    are CPU-dense and ran serially on the single-file table), and the
+    argmin stages through a generator — the bare
+    ``filter(isNotNull(split_pos))`` was predicate-pushed below the
+    Project, evaluating the WHOLE fold chain twice per row (and it
+    would sink below the spread exchange); a filter on a Generate
+    output cannot move. Identical rows."""
+    from post_ocr_corretion_spark.operators.gopher import _GRAM_SPREAD_BYTES
+    from post_ocr_corretion_spark.operators.lexicon import _spread_tokens_input
+
+    docs = _spread_tokens_input(
+        _t(spark, sf, "documents").select("doc_id", "text"), _GRAM_SPREAD_BYTES
+    )
     parts = F.split(F.col("text"), " ", -1)
     # positions of the i-th space = len(parts[0..i] joined by ' '): fold the
     # leading parts, carrying (position of last emitted space, positions).
@@ -198,7 +211,7 @@ def q_w7_split_point(spark, sf):
         ).otherwise(acc),
     )["p"]
     return (
-        docs.select("doc_id", best.alias("split_pos"))
+        docs.select("doc_id", F.explode(F.array(best)).alias("split_pos"))
         .filter(F.col("split_pos").isNotNull())
     )
 
@@ -2342,8 +2355,15 @@ def q_explode_outer(spark, sf):
 def q_map_hof(spark, sf):
     """Map higher-order functions beyond map_props' keys/element_at:
     transform_values, map_filter, and map_zip_with (self-zip doubling),
-    re-serialized deterministically via sorted entries."""
-    e = _t(spark, sf, "events")
+    re-serialized deterministically via sorted entries.
+
+    r9: input spread when the scan is under-split — the from_json +
+    interpreted map-HOF projection ran serially on the single-file
+    events table. Row-local projection; identical rows."""
+    from post_ocr_corretion_spark.operators.gopher import _GRAM_SPREAD_BYTES
+    from post_ocr_corretion_spark.operators.lexicon import _spread_tokens_input
+
+    e = _spread_tokens_input(_t(spark, sf, "events"), _GRAM_SPREAD_BYTES)
     m = F.from_json("props", "map<string,int>")
     doubled = F.transform_values(m, lambda k, v: v * 2)
     big = F.map_filter(m, lambda k, v: v > 5)
@@ -2429,7 +2449,12 @@ def q_udtf_chunks(spark, sf):
 
     ensure_package_shipped(spark)
     register_udtfs(spark)
-    _t(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    from post_ocr_corretion_spark.operators.gopher import _GRAM_SPREAD_BYTES
+    from post_ocr_corretion_spark.operators.lexicon import _spread_tokens_input
+
+    # r9: spread the under-split scan — the per-row Python UDTF ran
+    # serially on the single-file table (row-local; identical rows)
+    _spread_tokens_input(_t(spark, sf, "documents"), _GRAM_SPREAD_BYTES).createOrReplaceTempView("docs_udtf")
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_id, c.chunk, c.start
