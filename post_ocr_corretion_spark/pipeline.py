@@ -274,6 +274,18 @@ def _render_extract_correct(
     return docs.select("doc_id", "text", "lang").mapInPandas(run, schema)
 
 
+def _spread_docs(docs: DataFrame, spread: str, par: int) -> DataFrame:
+    """The doc-spreading shuffle feeding the per-doc Python stage (hash
+    default; ``range`` = the north rule's repartitionByRange on the doc
+    hash). Factored out so the plan-audit tests can pin its
+    partitioning directly — in the pipeline the shuffle is materialized
+    by the overlap thread (localCheckpoint), which replaces it with a
+    Scan ExistingRDD in the final plan."""
+    if spread == "range":
+        return docs.repartitionByRange(par, F.xxhash64("doc_id"))
+    return docs.repartition(par, F.xxhash64("doc_id"))
+
+
 def run_pipeline_from_docs(
     spark: SparkSession,
     docs: DataFrame,
@@ -320,10 +332,25 @@ def run_pipeline_from_docs(
     # lexicon is a distinct ∪ base — set-identical either way.
     lexicon_input = lexicon_docs if lexicon_docs is not None else docs
     par = partitions or max(spark.sparkContext.defaultParallelism * 2, 8)
-    if spread == "range":
-        docs = docs.repartitionByRange(par, F.xxhash64("doc_id"))
-    else:
-        docs = docs.repartition(par, F.xxhash64("doc_id"))
+    docs = _spread_docs(docs, spread, par)
+
+    # r9: OVERLAP the doc-spreading shuffle with the lexicon/scorer job
+    # (guide §2.6 — Spark happily runs concurrent jobs; actions are only
+    # sequential because the driver calls them sequentially). The map
+    # stage's input shuffle does not depend on the sidecar, so a driver
+    # thread materializes it (localCheckpoint) while the main thread
+    # builds the lexicon and writes the sidecar; the correction stage
+    # then reads the already-shuffled partitions. Same rows, same
+    # partitioning (the checkpoint pins the exact repartition output the
+    # stage would otherwise compute inline) → byte-identical output.
+    # UDF mode only: the catalyst path materializes `extracted` itself.
+    docs_fut = None
+    if mode == "udf":
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        docs_fut = _pool.submit(lambda d=docs: d.localCheckpoint(eager=True))
+        _pool.shutdown(wait=False)
 
     lexicon_df = build_lexicon(
         spark, lexicon_input, COMMON_WORDS, bucketed=(mode == "catalyst"),
@@ -353,7 +380,7 @@ def run_pipeline_from_docs(
         # parity suite asserts it.
         lexicon_bc = spark.sparkContext.broadcast(lex_words)
         corrected = _render_extract_correct(
-            docs,
+            docs_fut.result() if docs_fut is not None else docs,
             scorer_bc,
             lexicon_bc,
             max_distance=max_distance,
